@@ -1,0 +1,274 @@
+"""The TPU-native smoothing engine.
+
+This is the JAX equivalent of the reference's engine orchestrator
+``do_quantsmooth`` (reference: quantsmooth.h:2404-2878): per component,
+dequantize onto the device, iterate {IDCT refresh -> block pass ->
+rebalance}, then run the optional JOINT_YUV / UPSAMPLE_UV color paths.
+
+Architecture (SURVEY.md §7): the host does entropy decode/encode; the
+device holds int32 coefficient tensors [B, 64] and padded pixel planes.
+Each (shape, flags, niter, ...) configuration compiles once; the niter
+loop is unrolled inside a single jitted function so a whole component
+pass is one device program.  OpenMP row-parallelism of the reference
+collapses into the block axis (all blocks are lanes); multi-chip
+sharding lives in parallel/.
+
+Bit-exactness contract: output coefficient planes are bit-identical to
+the scalar (SIMD=none) reference build at every quality level — see
+tests/test_engine.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .options import (DIAGONALS, JOINT_YUV, UPSAMPLE_UV, LOW_QUALITY,
+                      NO_REBALANCE, NO_REBALANCE_UV, ITER_MAX, QsOptions)
+from .specref import make_solver_tables
+from .ops.dct import idct_islow, fdct_float
+from .ops.quant import (make_quant_tables, roundf, c_f32_to_i32, fdct_clamp)
+from .ops.plane import (blocks_to_plane, plane_block_borders,
+                        plane_to_fblocks, downsample_plane)
+from .ops.solver import solve_blocks
+from .ops.rebalance import rebalance_blocks
+from .ops.joint import joint_yuv_fplane
+from .ops.lowq import low_quality_range, low_quality_fplane
+from .ops.upsample import upsample_chroma
+
+F = jnp.float32
+I32 = jnp.int32
+CENTERJSAMPLE = 128
+
+
+def _int16_wrap(x):
+    """Model C's int16 coefficient storage (JCOEF) exactly."""
+    return x.astype(jnp.int16).astype(I32)
+
+
+def _block_pass(coef, padded, image2, div, x1, qshr, flags, tables, luma,
+                hb, wb):
+    """One smoothing pass over all blocks of a component
+    (reference: quantsmooth.h:564-1848; driver loop 2624-2651)."""
+    B = hb * wb
+    if image2 is not None:
+        fplane = joint_yuv_fplane(padded, image2)
+        coef = fdct_clamp(plane_to_fblocks(fplane, hb, wb), coef,
+                          div, x1, qshr)
+
+    if flags & LOW_QUALITY:
+        if image2 is None:
+            rng = low_quality_range(coef, div)
+            range_map = jnp.repeat(jnp.repeat(rng.reshape(hb, wb), 8, 0), 8, 1)
+            fplane = low_quality_fplane(padded, range_map)
+            coef = fdct_clamp(plane_to_fblocks(fplane, hb, wb), coef,
+                              div, x1, qshr)
+    else:
+        borders = plane_block_borders(padded, hb, wb)
+        coef = solve_blocks(coef, borders, div, x1, qshr, tables)
+
+    if flags & NO_REBALANCE:
+        return coef
+    if not luma and (flags & NO_REBALANCE_UV):
+        return coef
+    return rebalance_blocks(coef, div, x1, qshr)
+
+
+@partial(jax.jit, static_argnames=("hb", "wb", "flags", "niter",
+                                   "extra_refresh", "luma", "use_image2"))
+def component_smooth(coef16, qraw, div, x1, qshr, image2, *, hb, wb, flags,
+                     niter, extra_refresh, luma, use_image2):
+    """Full smoothing of one component plane, one device program.
+
+    coef16 int16[B,64] (quantized, straight from entropy decode);
+    qraw int32[64] raw quantizers; div/x1/qshr from make_quant_tables;
+    image2: downsampled-luma padded plane (or a dummy when unused).
+
+    Returns (coef int32[B,64] final-clamped, padded plane int32, badv).
+    Models reference quantsmooth.h:2580-2689 including the iter-0
+    dequantization overflow guard (2596-2610).
+    """
+    B = hb * wb
+    tables = None
+    if not (flags & LOW_QUALITY):
+        tables = make_solver_tables(flags)
+
+    # iter 0: dequantize with int16 storage and the crafted-file guard.
+    prod = coef16.astype(I32) * qraw[None, :]
+    orv = jnp.bitwise_or.reduce((prod + 0x800).ravel())
+    badv = (orv >> 12) != 0
+    coef = _int16_wrap(prod)
+    coef_dq = coef
+
+    img2 = image2 if (use_image2 and (flags & JOINT_YUV)) else None
+
+    padded = None
+    for it in range(niter + extra_refresh):
+        pix = idct_islow(coef.reshape(B, 8, 8))
+        padded = blocks_to_plane(pix, hb, wb)
+        if it == niter:
+            break
+        coef = _block_pass(coef, padded, img2, div, x1, qshr, flags,
+                           tables, luma, hb, wb)
+    if padded is None:  # niter == extra_refresh == 0 cannot happen here
+        padded = blocks_to_plane(idct_islow(coef.reshape(B, 8, 8)), hb, wb)
+
+    # Crafted-file fallback: keep the plain dequantized coefficients
+    # (quantsmooth.h:2596-2610 sets stop before the block passes run).
+    coef = jnp.where(badv, coef_dq, coef)
+    # final coefficient clamp +-1023 (quantsmooth.h:2668-2689)
+    coef = jnp.clip(coef, -1023, 1023)
+    return coef, padded, badv
+
+
+@partial(jax.jit, static_argnames=("hb_l", "wb_l", "hb_c", "wb_c",
+                                   "ws", "hs"))
+def downsample_jit(padded_luma, *, hb_l, wb_l, hb_c, wb_c, ws, hs):
+    return downsample_plane(padded_luma, hb_l, wb_l, hb_c, wb_c, ws, hs)
+
+
+@partial(jax.jit, static_argnames=("img_w", "img_h", "ws", "hs",
+                                   "hb_l", "wb_l"))
+def upsample_fdct_jit(padded_chroma, image2, image1, *, img_w, img_h,
+                      ws, hs, hb_l, wb_l):
+    """UPSAMPLE_UV: upsampled chroma plane -> luma-dim coefficients
+    (reference: quantsmooth.h:2732-2750)."""
+    mem = upsample_chroma(padded_chroma, image2, image1, img_w, img_h,
+                          ws, hs, hb_l, wb_l)
+    fb = (mem - CENTERJSAMPLE).astype(F)
+    out = fdct_float(plane_to_fblocks(fb, hb_l, wb_l))
+    return c_f32_to_i32(roundf(out.reshape(hb_l * wb_l, 64))).astype(
+        jnp.int16).reshape(hb_l, wb_l, 64)
+
+
+@partial(jax.jit, static_argnames=())
+def dequant_fallback_jit(coef16, qraw):
+    """Dequantize-only fallback once a crafted file is detected
+    (quantsmooth.h:2551-2566)."""
+    return _int16_wrap(coef16.astype(I32) * qraw[None, :]).astype(jnp.int16)
+
+
+class SmoothResult:
+    """Engine output: transformed (quant=1) coefficient planes."""
+
+    def __init__(self):
+        self.coefs = []        # per-component int16 [hb, wb, 64]
+        self.upsampled = None  # (cb, cr) int16 at luma dims, or None
+        self.stop = 0
+
+
+def smooth(img, opts: QsOptions) -> SmoothResult:
+    """Run the full engine on a decoded-to-coefficients JPEG.
+
+    ``img`` is a host.jpegio.JpegImage.  The JAX equivalent of
+    do_quantsmooth (reference: quantsmooth.h:2404-2878); component
+    sequencing and the rare crafted-file aborts stay host-side, all
+    math runs on device.
+    """
+    res = SmoothResult()
+    comps = img.components
+    res.coefs = [np.asarray(c.coefs, dtype=np.int16).copy() for c in comps]
+
+    need_downsample = (
+        bool(opts.flags & (JOINT_YUV | UPSAMPLE_UV)) and img.is_ycbcr
+        and len(comps) >= 3
+        and comps[1].h_samp_factor == 1 and comps[1].v_samp_factor == 1
+        and comps[2].h_samp_factor == 1 and comps[2].v_samp_factor == 1)
+
+    num_iter = min(max(opts.niter, 0), ITER_MAX)
+    if num_iter <= 0 and not ((opts.flags & UPSAMPLE_UV) and need_downsample):
+        return res
+
+    stop = 0
+    image1 = None   # full-res luma padded plane (UPSAMPLE_UV)
+    image2 = None   # downsampled luma padded plane (JOINT_YUV)
+    up_planes = {}
+    flags = opts.flags
+
+    for ci, comp in enumerate(comps):
+        qraw = np.asarray(comp.quantval, dtype=np.int32)
+        if not qraw.any():
+            continue  # no quant table came with this component
+        hb, wb = comp.height_in_blocks, comp.width_in_blocks
+        coef16 = jnp.asarray(res.coefs[ci].reshape(hb * wb, 64))
+
+        extra_refresh = 1 if (image1 is not None
+                              or (ci == 0 and need_downsample)) else 0
+        num_iter2 = num_iter
+
+        val = int(np.bitwise_or.reduce(qraw))
+        if val <= 1:
+            num_iter2 = 0       # already processed (quantsmooth.h:2500-2501)
+        if val >= 0x800:
+            stop = 1            # crafted/damaged file (quantsmooth.h:2502-2504)
+        if num_iter2 + extra_refresh == 0:
+            continue
+        qraw_j = jnp.asarray(qraw)
+        if stop:
+            # dequant-only fallback (quantsmooth.h:2551-2566)
+            res.coefs[ci] = np.asarray(
+                dequant_fallback_jit(coef16, qraw_j)).reshape(hb, wb, 64)
+            continue
+
+        div, x1, qshr = make_quant_tables(qraw)
+        luma = (ci == 0) or not img.is_ycbcr
+        use_image2 = image2 is not None
+        img2_arg = image2 if use_image2 else jnp.zeros((1, 1), dtype=I32)
+
+        coef, padded, badv = component_smooth(
+            coef16, qraw_j, jnp.asarray(div), jnp.asarray(x1),
+            jnp.asarray(qshr), img2_arg, hb=hb, wb=wb, flags=flags,
+            niter=num_iter2, extra_refresh=extra_refresh, luma=luma,
+            use_image2=use_image2)
+        res.coefs[ci] = np.asarray(coef.astype(jnp.int16)).reshape(hb, wb, 64)
+        if bool(badv):
+            stop = 1
+            continue
+
+        if image1 is not None:
+            ws = comps[0].h_samp_factor
+            hs = comps[0].v_samp_factor
+            hbl, wbl = comps[0].height_in_blocks, comps[0].width_in_blocks
+            up_planes[ci] = np.asarray(upsample_fdct_jit(
+                padded, image2, image1, img_w=img.width, img_h=img.height,
+                ws=ws, hs=hs, hb_l=hbl, wb_l=wbl))
+        elif ci == 0 and need_downsample:
+            ws, hs = comp.h_samp_factor, comp.v_samp_factor
+            if ws == 1 and hs == 1:
+                image2 = padded
+            else:
+                if flags & UPSAMPLE_UV:
+                    image1 = padded
+                image2 = downsample_jit(
+                    padded, hb_l=hb, wb_l=wb,
+                    hb_c=comps[1].height_in_blocks,
+                    wb_c=comps[1].width_in_blocks, ws=ws, hs=hs)
+
+    if stop:
+        image1 = None
+    if image1 is not None and 1 in up_planes and 2 in up_planes:
+        res.upsampled = (up_planes[1], up_planes[2])
+    res.stop = stop
+    return res
+
+
+def smooth_jpeg_bytes(data: bytes, opts: QsOptions = None,
+                      optimize: bool = False) -> bytes:
+    """Transcode convenience path: JPEG bytes in, smoothed JPEG bytes
+    out with all quant tables set to 1 (the reference CLI's canonical
+    flow, quantsmooth.c:494-623)."""
+    from .host.jpegio import JpegCoefFile
+
+    if opts is None:
+        opts = QsOptions.from_quality(3, 3)
+    with JpegCoefFile(data) as f:
+        img = f.read()
+        res = smooth(img, opts)
+        for ci in range(len(img.components)):
+            f.write_coefs(ci, res.coefs[ci])
+        if res.upsampled is not None:
+            f.set_upsampled(res.upsampled[0], res.upsampled[1])
+        return f.save(optimize=optimize)

@@ -1,0 +1,160 @@
+"""Multi-chip sharded engine: spatial plane sharding + batch DP.
+
+The reference's only parallel mechanism is OpenMP over block rows of a
+shared-memory plane (quantsmooth.h:2552-2554 etc.).  The TPU-native
+equivalent (SURVEY.md §5): shard the block grid of a component plane by
+block *rows* across a mesh axis and exchange the 1-pixel halo between
+neighbors each iteration with ``lax.ppermute`` — the halo is the only
+cross-block coupling (quantsmooth.h:1396-1401, 2612-2620).  The
+exchange sits exactly where the reference has its implicit OpenMP
+barrier between the IDCT pass and the block pass
+(quantsmooth.h:2609 -> 2624).
+
+Batch parallelism across images is pure data parallelism on a second
+mesh axis (no communication until results are gathered).
+
+Bit-exactness: every block sees the same padded 10x10 neighborhood as
+in the single-device engine, so outputs are bit-identical (tested in
+tests/test_sharded.py by comparing against the single-device engine on
+a virtual 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..options import LOW_QUALITY, NO_REBALANCE, NO_REBALANCE_UV, JOINT_YUV
+from ..specref import make_solver_tables
+from ..ops.dct import idct_islow
+from ..ops.quant import fdct_clamp
+from ..ops.plane import plane_block_borders, plane_to_fblocks
+from ..ops.solver import solve_blocks
+from ..ops.rebalance import rebalance_blocks
+from ..ops.joint import joint_yuv_fplane
+from ..ops.lowq import low_quality_range, low_quality_fplane
+
+F = jnp.float32
+I32 = jnp.int32
+
+
+def _halo_exchange_rows(interior, axis):
+    """Exchange 1-pixel row halos along a sharded row axis.
+
+    interior: local [H_loc, W] pixel rows.  Returns (top, bottom) halo
+    rows [W]: the neighbor's adjacent interior row, or the local edge
+    row replicated at the global boundary (quantsmooth.h:2612-2620).
+    """
+    r = jax.lax.axis_index(axis)
+    n = jax.lax.axis_size(axis)
+    # my last row -> next shard's top halo
+    from_above = jax.lax.ppermute(
+        interior[-1, :], axis, [(i, i + 1) for i in range(n - 1)])
+    # my first row -> previous shard's bottom halo
+    from_below = jax.lax.ppermute(
+        interior[0, :], axis, [(i + 1, i) for i in range(n - 1)])
+    top = jnp.where(r == 0, interior[0, :], from_above)
+    bottom = jnp.where(r == n - 1, interior[-1, :], from_below)
+    return top, bottom
+
+
+def _build_padded_local(interior, axis):
+    """Local padded (+1px) plane from interior rows plus the halo."""
+    top, bottom = _halo_exchange_rows(interior, axis)
+    plane = jnp.concatenate([top[None, :], interior, bottom[None, :]], axis=0)
+    return jnp.pad(plane, ((0, 0), (1, 1)), mode="edge")
+
+
+def _local_block_pass(coef, padded, image2, div, x1, qshr, flags, tables,
+                      luma, hb_loc, wb):
+    """Per-shard block pass — identical math to engine._block_pass."""
+    if image2 is not None:
+        fplane = joint_yuv_fplane(padded, image2)
+        coef = fdct_clamp(plane_to_fblocks(fplane, hb_loc, wb), coef,
+                          div, x1, qshr)
+    if flags & LOW_QUALITY:
+        if image2 is None:
+            rng = low_quality_range(coef, div)
+            range_map = jnp.repeat(jnp.repeat(rng.reshape(hb_loc, wb), 8, 0),
+                                   8, 1)
+            fplane = low_quality_fplane(padded, range_map)
+            coef = fdct_clamp(plane_to_fblocks(fplane, hb_loc, wb), coef,
+                              div, x1, qshr)
+    else:
+        borders = plane_block_borders(padded, hb_loc, wb)
+        coef = solve_blocks(coef, borders, div, x1, qshr, tables)
+    if flags & NO_REBALANCE:
+        return coef
+    if not luma and (flags & NO_REBALANCE_UV):
+        return coef
+    return rebalance_blocks(coef, div, x1, qshr)
+
+
+def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
+                        extra_refresh=0, luma=True, row_axis="row",
+                        batch_axis=None):
+    """Build a jitted sharded component smoother.
+
+    Returns fn(coef16, qraw, div, x1, qshr) -> (coef, badv) where
+    coef16 is int16[(batch,)? hb, wb, 64] sharded (batch_axis?, row_axis)
+    over the mesh.  hb must divide evenly by the row-axis size.
+
+    The whole niter loop runs inside one jitted program; each iteration
+    does local IDCT -> halo exchange -> local block pass.
+    """
+    n_rows = mesh.shape[row_axis]
+    assert hb % n_rows == 0, f"hb={hb} not divisible by {n_rows} row shards"
+    hb_loc = hb // n_rows
+    tables = None
+    if not (flags & LOW_QUALITY):
+        tables = make_solver_tables(flags)
+
+    def local_fn(coef16, qraw, div, x1, qshr):
+        # shapes (local): coef16 int16[hb_loc, wb, 64]
+        B = hb_loc * wb
+        prod = coef16.astype(I32).reshape(B, 64) * qraw[None, :]
+        bad_loc = jnp.any(((prod + 0x800) >> 12) != 0)
+        badv = jax.lax.pmax(bad_loc.astype(I32), row_axis) > 0
+        coef = prod.astype(jnp.int16).astype(I32)
+        coef_dq = coef
+
+        for it in range(niter + extra_refresh):
+            pix = idct_islow(coef.reshape(B, 8, 8))
+            interior = pix.reshape(hb_loc, wb, 8, 8).transpose(
+                0, 2, 1, 3).reshape(hb_loc * 8, wb * 8)
+            padded = _build_padded_local(interior, row_axis)
+            if it == niter:
+                break
+            coef = _local_block_pass(coef, padded, None, div, x1, qshr,
+                                     flags, tables, luma, hb_loc, wb)
+        coef = jnp.where(badv, coef_dq, coef)
+        coef = jnp.clip(coef, -1023, 1023)
+        return coef.reshape(hb_loc, wb, 64), badv
+
+    if batch_axis is None:
+        in_specs = (P(row_axis, None, None), P(), P(), P(), P())
+        out_specs = (P(row_axis, None, None), P())
+        fn = local_fn
+    else:
+        def fn(coef16, qraw, div, x1, qshr):
+            return jax.vmap(
+                lambda c: local_fn(c, qraw, div, x1, qshr))(coef16)
+        in_specs = (P(batch_axis, row_axis, None, None), P(), P(), P(), P())
+        out_specs = (P(batch_axis, row_axis, None, None), P(batch_axis))
+
+    sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_rep=False)
+    return jax.jit(sharded)
+
+
+def row_sharding(mesh, row_axis="row", batch_axis=None, batched=False):
+    """NamedSharding for a coefficient tensor [(N,)? hb, wb, 64]."""
+    from jax.sharding import NamedSharding
+    if batched:
+        return NamedSharding(mesh, P(batch_axis, row_axis, None, None))
+    return NamedSharding(mesh, P(row_axis, None, None))

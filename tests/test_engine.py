@@ -1,0 +1,192 @@
+"""Differential tests: JAX engine vs the scalar reference binary.
+
+The engine must be bit-exact with the scalar (SIMD=none) reference
+build at every quality level (SURVEY.md §6) — the same contract
+test_specref.py enforces for the NumPy spec.  Unit tests at the bottom
+pin the tricky device-side constructions (int64-free rebalance, the C
+float->int cast, the strict left fold) against the NumPy spec.
+"""
+
+import numpy as np
+import pytest
+
+from jpegqs_tpu import engine, specref
+from jpegqs_tpu.host import jpegio
+from jpegqs_tpu.options import QsOptions
+from util import make_jpeg, run_reference, coef_arrays
+
+
+def assert_matches_reference(data: bytes, quality: int, niter: int):
+    ref_coefs = coef_arrays(run_reference(data, quality=quality, niter=niter))
+    img = jpegio.read_coefficients(data)
+    res = engine.smooth(img, QsOptions.from_quality(quality, niter))
+    if res.upsampled is not None:
+        ours = [res.coefs[0], res.upsampled[0], res.upsampled[1]]
+    else:
+        ours = res.coefs
+    for ci in range(len(img.components)):
+        want = ref_coefs[ci][0]
+        got = ours[ci]
+        assert got.shape == want.shape, f"component {ci} shape"
+        if not np.array_equal(got, want):
+            bad = np.argwhere(got != want)
+            t = tuple(bad[0])
+            raise AssertionError(
+                f"component {ci}: {len(bad)} coef mismatches, first at {t}: "
+                f"got {got[t]} want {want[t]}")
+
+
+@pytest.mark.parametrize("quality", range(7))
+def test_gray_all_qualities(quality):
+    assert_matches_reference(make_jpeg(64, 64, "photo", seed=1, quality=70),
+                             quality, 3)
+
+
+@pytest.mark.parametrize("quality", range(7))
+def test_color_420_all_qualities(quality):
+    assert_matches_reference(
+        make_jpeg(64, 48, "photo", seed=3, color=True, quality=70, subsamp=1),
+        quality, 3)
+
+
+@pytest.mark.parametrize("subsamp", [0, 2])
+@pytest.mark.parametrize("quality", [5, 6])
+def test_color_subsampling_modes(subsamp, quality):
+    assert_matches_reference(
+        make_jpeg(48, 56, "photo", seed=5, color=True, quality=80,
+                  subsamp=subsamp), quality, 3)
+
+
+@pytest.mark.parametrize("quality", [3, 6])
+def test_odd_sizes(quality):
+    assert_matches_reference(
+        make_jpeg(49, 42, "photo", seed=6, color=True, quality=65, subsamp=1),
+        quality, 3)
+
+
+@pytest.mark.parametrize("niter", [0, 1, 5])
+def test_niter_sweep(niter):
+    assert_matches_reference(make_jpeg(64, 64, "photo", seed=1, quality=70),
+                             3, niter)
+
+
+@pytest.mark.parametrize("kind", ["noise", "flat", "edges"])
+def test_content_kinds(kind):
+    assert_matches_reference(make_jpeg(64, 64, kind, seed=7, quality=30), 3, 3)
+
+
+@pytest.mark.parametrize("srcq", [10, 95])
+def test_extreme_source_quality(srcq):
+    assert_matches_reference(make_jpeg(64, 64, "photo", seed=11, quality=srcq),
+                             3, 3)
+    assert_matches_reference(
+        make_jpeg(64, 48, "photo", seed=13, color=True, quality=srcq,
+                  subsamp=1), 6, 3)
+
+
+def test_progressive_input():
+    data = make_jpeg(64, 48, "photo", seed=9, color=True, quality=70,
+                     subsamp=1, progressive=True)
+    assert_matches_reference(data, 3, 3)
+
+
+def test_idempotency():
+    """Already-processed files (all quant == 1) skip iterations."""
+    g = make_jpeg(64, 64, "photo", seed=1, quality=70)
+    assert_matches_reference(run_reference(g, 3, 3), 3, 3)
+
+
+def test_transcode_bytes_roundtrip():
+    """smooth_jpeg_bytes output re-reads with all quant tables == 1."""
+    data = make_jpeg(64, 48, "photo", seed=3, color=True, quality=70,
+                     subsamp=1)
+    out = engine.smooth_jpeg_bytes(data, QsOptions.from_quality(3, 3))
+    img = jpegio.read_coefficients(out)
+    for c in img.components:
+        assert np.all(c.quantval == 1)
+
+
+# ---------------------------------------------------------------------------
+# Unit tests: device-side constructions vs the NumPy spec
+# ---------------------------------------------------------------------------
+
+def test_rebalance_pair_math_vs_spec():
+    """int32-pair rebalance == spec's int64 rebalance on random blocks."""
+    import jax.numpy as jnp
+    from jpegqs_tpu.ops.rebalance import rebalance_blocks
+    from jpegqs_tpu.ops.quant import make_quant_tables
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        qtbl = rng.integers(1, 255, 64).astype(np.uint16)
+        qv = specref.make_quantval192(qtbl)
+        div, x1, qshr = make_quant_tables(qtbl)
+        # coefficients near lattice points (the reachable state space)
+        q = qtbl.astype(np.int32)
+        lattice = rng.integers(-8, 9, (256, 64)).astype(np.int32) * q[None, :]
+        jitter = rng.integers(-1, 2, (256, 64)).astype(np.int32) * (
+            q[None, :] // 2)
+        coef = np.clip(lattice + jitter, -32768, 32767).astype(np.int32)
+        want = specref.rebalance_blocks(coef, qv)
+        got = np.asarray(rebalance_blocks(
+            jnp.asarray(coef), jnp.asarray(div), jnp.asarray(x1),
+            jnp.asarray(qshr)))
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_solver_vs_spec_random_blocks():
+    import jax.numpy as jnp
+    from jpegqs_tpu.ops.solver import solve_blocks
+    from jpegqs_tpu.ops.quant import make_quant_tables
+
+    rng = np.random.default_rng(7)
+    for flags in (0, 1):
+        qtbl = rng.integers(1, 120, 64).astype(np.uint16)
+        qv = specref.make_quantval192(qtbl)
+        div, x1, qshr = make_quant_tables(qtbl)
+        tables = specref.make_solver_tables(flags)
+        coef = (rng.integers(-40, 41, (64, 64)).astype(np.int32)
+                * qtbl[None, :].astype(np.int32))
+        borders = rng.integers(0, 256, (64, 4, 8)).astype(np.int32)
+        want = specref.solve_blocks(coef, borders, qv, flags, tables)
+        got = np.asarray(solve_blocks(
+            jnp.asarray(coef), jnp.asarray(borders), jnp.asarray(div),
+            jnp.asarray(x1), jnp.asarray(qshr), tables))
+        assert np.array_equal(got, want), f"flags {flags}"
+
+
+def test_c_f32_to_i32_semantics():
+    """cvttss2si: trunc toward zero; NaN/out-of-range -> INT32_MIN."""
+    import jax.numpy as jnp
+    from jpegqs_tpu.ops.quant import c_f32_to_i32
+
+    xs = np.array([0.0, -0.0, 1.9, -1.9, 2147483520.0, -2147483648.0,
+                   2147483648.0, -2147483904.0, np.inf, -np.inf, np.nan,
+                   1e38], dtype=np.float32)
+    want = np.array([0, 0, 1, -1, 2147483520, -2147483648,
+                     -2147483648, -2147483648, -2147483648, -2147483648,
+                     -2147483648, -2147483648], dtype=np.int32)
+    got = np.asarray(c_f32_to_i32(jnp.asarray(xs)))
+    assert np.array_equal(got, want)
+
+
+def test_idct_islow_vs_spec():
+    import jax.numpy as jnp
+    from jpegqs_tpu.ops.dct import idct_islow
+
+    rng = np.random.default_rng(3)
+    coef = rng.integers(-2048, 2048, (128, 8, 8)).astype(np.int32)
+    want = specref.idct_islow(coef)
+    got = np.asarray(idct_islow(jnp.asarray(coef)))
+    assert np.array_equal(got, want)
+
+
+def test_fdct_float_vs_spec():
+    import jax.numpy as jnp
+    from jpegqs_tpu.ops.dct import fdct_float
+
+    rng = np.random.default_rng(4)
+    fb = (rng.uniform(-128, 128, (128, 8, 8))).astype(np.float32)
+    want = specref.fdct_float(fb)
+    got = np.asarray(fdct_float(jnp.asarray(fb)))
+    assert np.array_equal(got, want)
