@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..options import LOW_QUALITY, NO_REBALANCE, NO_REBALANCE_UV, JOINT_YUV
 from ..specref import make_solver_tables

@@ -8,7 +8,11 @@ Environment must be set before the first jax import.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend (overriding the session's TPU tunnel) unless
+# the caller explicitly selects one with JPEGQS_TEST_PLATFORM — e.g.
+# `JPEGQS_TEST_PLATFORM=axon pytest tests/test_engine.py` runs the
+# differential suite on the real TPU chip (sharded tests then skip).
+os.environ["JAX_PLATFORMS"] = os.environ.get("JPEGQS_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Persistent compilation cache: engine configs compile once per machine.
 import jax  # noqa: E402
 
+# The axon site hook forces JAX_PLATFORMS=axon at interpreter startup;
+# the config update below actually takes effect.
+jax.config.update("jax_platforms",
+                  os.environ.get("JPEGQS_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))

@@ -1,0 +1,101 @@
+"""Sharded engine == single-device engine, bit for bit.
+
+Runs on the 8-virtual-device CPU mesh from conftest (SURVEY.md §4.3).
+The halo-exchange logic is validated by comparing sharded output
+against the single-device engine on the same inputs.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from jpegqs_tpu.engine import component_smooth
+from jpegqs_tpu.ops.quant import make_quant_tables
+from jpegqs_tpu.parallel.sharded import make_sharded_smooth, row_sharding
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _component(hb, wb, seed=0, qscale=1.0):
+    rng = np.random.default_rng(seed)
+    qtbl = np.clip((rng.integers(4, 80, 64) * qscale).astype(np.int32), 1, 255)
+    # keep |coef*q| < 0x800 so the crafted-file guard stays quiet
+    cap = 2047 // qtbl
+    coef16 = (rng.integers(-50, 51, (hb * wb, 64))
+              // (1 + np.arange(64) // 8)).astype(np.int64)
+    coef16 = np.clip(coef16, -cap[None, :], cap[None, :]).astype(np.int16)
+    return coef16, qtbl
+
+
+@pytest.mark.parametrize("flags,niter", [(0, 3), (1, 2), (8 | 1, 1)])
+def test_sharded_matches_single_device(flags, niter):
+    hb, wb = 16, 12
+    coef16, qtbl = _component(hb, wb, seed=5)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=flags, niter=niter, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags, niter=niter,
+                             luma=True)
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    got = np.asarray(got)
+    assert not bool(badv)
+    assert np.array_equal(got, want)
+
+
+def test_sharded_batch_dp():
+    """2-D mesh: batch DP x row sharding, every image bit-exact."""
+    hb, wb, n_batch = 8, 8, 4
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "row"))
+    coefs = []
+    qtbl = _component(hb, wb, seed=9)[1]
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    for i in range(n_batch):
+        coefs.append(_component(hb, wb, seed=100 + i)[0])
+    batch = np.stack([c.reshape(hb, wb, 64) for c in coefs])
+
+    wants = []
+    for c in coefs:
+        w, _, _ = component_smooth(
+            jnp.asarray(c), jnp.asarray(qraw), jnp.asarray(div),
+            jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+            hb=hb, wb=wb, flags=1, niter=2, extra_refresh=0, luma=True,
+            use_image2=False)
+        wants.append(np.asarray(w).reshape(hb, wb, 64))
+
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=1, niter=2,
+                             luma=True, batch_axis="data")
+    coef_dev = jax.device_put(
+        batch, row_sharding(mesh, batch_axis="data", batched=True))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    got = np.asarray(got)
+    for i in range(n_batch):
+        assert np.array_equal(got[i], wants[i]), f"image {i}"
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__
+    import jax as _jax
+    fn, args = __graft_entry__.entry()
+    out = _jax.jit(fn)(*args)
+    assert out.shape == (256, 64)
