@@ -148,7 +148,7 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
         out_specs = (P(batch_axis, row_axis, None, None), P(batch_axis))
 
     sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
-                        out_specs=out_specs, check_rep=False)
+                        out_specs=out_specs, check_vma=False)
     return jax.jit(sharded)
 
 
