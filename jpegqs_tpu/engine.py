@@ -29,14 +29,12 @@ import jax.numpy as jnp
 from .options import (DIAGONALS, JOINT_YUV, UPSAMPLE_UV, LOW_QUALITY,
                       NO_REBALANCE, NO_REBALANCE_UV, ITER_MAX, QsOptions)
 from .specref import make_solver_tables
-from .ops.dct import idct_islow, fdct_float
-from .ops.quant import (make_quant_tables, roundf, c_f32_to_i32, fdct_clamp)
-from .ops.plane import (blocks_to_plane, plane_block_borders,
-                        plane_to_fblocks, downsample_plane)
-from .ops.solver import solve_blocks
-from .ops.rebalance import rebalance_blocks
+from .ops import planar
+from .ops import fp32
+from .ops.quant import make_quant_tables, roundf, c_f32_to_i32
+from .ops.plane import downsample_plane
 from .ops.joint import joint_yuv_fplane
-from .ops.lowq import low_quality_range, low_quality_fplane
+from .ops.lowq import low_quality_fplane
 from .ops.upsample import upsample_chroma
 
 F = jnp.float32
@@ -49,38 +47,64 @@ def _int16_wrap(x):
     return x.astype(jnp.int16).astype(I32)
 
 
-def _block_pass(coef, padded, image2, div, x1, qshr, flags, tables, luma,
-                hb, wb):
-    """One smoothing pass over all blocks of a component
-    (reference: quantsmooth.h:564-1848; driver loop 2624-2651)."""
-    B = hb * wb
+def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
+                  hb, wb):
+    """One smoothing pass over all blocks of a component, planar layout
+    (reference: quantsmooth.h:564-1848; driver loop 2624-2651).
+
+    coef int32[64, B]; pix int32[8, 8, B] (current pixel blocks);
+    image2: downsampled-luma padded plane or None.
+    """
     if image2 is not None:
-        fplane = joint_yuv_fplane(padded, image2)
-        coef = fdct_clamp(plane_to_fblocks(fplane, hb, wb), coef,
-                          div, x1, qshr)
+        fplane = joint_yuv_fplane(planar.pix_to_plane(pix, hb, wb), image2)
+        coef = planar.fdct_clamp_p(
+            planar.plane_to_fblocks_p(fplane, hb, wb), coef, div, x1, qshr)
 
     if flags & LOW_QUALITY:
         if image2 is None:
-            rng = low_quality_range(coef, div)
-            range_map = jnp.repeat(jnp.repeat(rng.reshape(hb, wb), 8, 0), 8, 1)
-            fplane = low_quality_fplane(padded, range_map)
-            coef = fdct_clamp(plane_to_fblocks(fplane, hb, wb), coef,
-                              div, x1, qshr)
+            rng = planar.low_quality_range_p(coef, div)
+            range_map = jnp.repeat(jnp.repeat(rng.reshape(hb, wb), 8, 0),
+                                   8, 1)
+            fplane = low_quality_fplane(planar.pix_to_plane(pix, hb, wb),
+                                        range_map)
+            coef = planar.fdct_clamp_p(
+                planar.plane_to_fblocks_p(fplane, hb, wb), coef,
+                div, x1, qshr)
     else:
-        borders = plane_block_borders(padded, hb, wb)
-        coef = solve_blocks(coef, borders, div, x1, qshr, tables)
+        borders = planar.borders_from_blocks(pix, hb, wb)
+        coef = planar.solve_blocks_p(coef, borders, div, x1, qshr, tables,
+                                     hb, wb)
 
     if flags & NO_REBALANCE:
         return coef
     if not luma and (flags & NO_REBALANCE_UV):
         return coef
-    return rebalance_blocks(coef, div, x1, qshr)
+    return planar.rebalance_blocks_p(coef, div, x1, qshr)
 
 
 @partial(jax.jit, static_argnames=("hb", "wb", "flags", "niter",
-                                   "extra_refresh", "luma", "use_image2"))
-def component_smooth(coef16, qraw, div, x1, qshr, image2, *, hb, wb, flags,
-                     niter, extra_refresh, luma, use_image2):
+                                   "extra_refresh", "luma", "use_image2",
+                                   "want_plane"))
+def _component_smooth_impl(coef16, qraw, div, x1, qshr, image2, fence, *,
+                           hb, wb, flags, niter, extra_refresh, luma,
+                           use_image2, want_plane=True):
+    with fp32.fence_token(fence):
+        return _component_smooth_body(
+            coef16, qraw, div, x1, qshr, image2, hb=hb, wb=wb, flags=flags,
+            niter=niter, extra_refresh=extra_refresh, luma=luma,
+            use_image2=use_image2, want_plane=want_plane)
+
+
+def component_smooth(coef16, qraw, div, x1, qshr, image2, **cfg):
+    """Public entry: full smoothing of one component plane (one device
+    program).  Injects the runtime-zero fp32 fence token (ops/fp32.py)."""
+    return _component_smooth_impl(coef16, qraw, div, x1, qshr, image2,
+                                  jnp.int32(0), **cfg)
+
+
+def _component_smooth_body(coef16, qraw, div, x1, qshr, image2, *, hb, wb,
+                           flags, niter, extra_refresh, luma, use_image2,
+                           want_plane=True):
     """Full smoothing of one component plane, one device program.
 
     coef16 int16[B,64] (quantized, straight from entropy decode);
@@ -89,7 +113,9 @@ def component_smooth(coef16, qraw, div, x1, qshr, image2, *, hb, wb, flags,
 
     Returns (coef int32[B,64] final-clamped, padded plane int32, badv).
     Models reference quantsmooth.h:2580-2689 including the iter-0
-    dequantization overflow guard (2596-2610).
+    dequantization overflow guard (2596-2610).  Compute runs in the
+    planar layout (ops/planar.py); the padded plane is only built when
+    a color path needs it (want_plane).
     """
     B = hb * wb
     tables = None
@@ -97,7 +123,8 @@ def component_smooth(coef16, qraw, div, x1, qshr, image2, *, hb, wb, flags,
         tables = make_solver_tables(flags)
 
     # iter 0: dequantize with int16 storage and the crafted-file guard.
-    prod = coef16.astype(I32) * qraw[None, :]
+    coef_nat = coef16.astype(I32)
+    prod = coef_nat.T * qraw[:, None]                     # planar [64, B]
     orv = jnp.bitwise_or.reduce((prod + 0x800).ravel())
     badv = (orv >> 12) != 0
     coef = _int16_wrap(prod)
@@ -105,23 +132,23 @@ def component_smooth(coef16, qraw, div, x1, qshr, image2, *, hb, wb, flags,
 
     img2 = image2 if (use_image2 and (flags & JOINT_YUV)) else None
 
-    padded = None
+    pix = None
     for it in range(niter + extra_refresh):
-        pix = idct_islow(coef.reshape(B, 8, 8))
-        padded = blocks_to_plane(pix, hb, wb)
+        pix = planar.idct_islow_p(coef.reshape(8, 8, B))
         if it == niter:
             break
-        coef = _block_pass(coef, padded, img2, div, x1, qshr, flags,
-                           tables, luma, hb, wb)
-    if padded is None:  # niter == extra_refresh == 0 cannot happen here
-        padded = blocks_to_plane(idct_islow(coef.reshape(B, 8, 8)), hb, wb)
+        coef = _block_pass_p(coef, pix, img2, div, x1, qshr, flags,
+                             tables, luma, hb, wb)
+
+    padded = (planar.pix_to_plane(pix, hb, wb) if want_plane
+              else jnp.zeros((1, 1), dtype=I32))
 
     # Crafted-file fallback: keep the plain dequantized coefficients
     # (quantsmooth.h:2596-2610 sets stop before the block passes run).
     coef = jnp.where(badv, coef_dq, coef)
     # final coefficient clamp +-1023 (quantsmooth.h:2668-2689)
     coef = jnp.clip(coef, -1023, 1023)
-    return coef, padded, badv
+    return coef.T, padded, badv
 
 
 @partial(jax.jit, static_argnames=("hb_l", "wb_l", "hb_c", "wb_c",
@@ -132,16 +159,29 @@ def downsample_jit(padded_luma, *, hb_l, wb_l, hb_c, wb_c, ws, hs):
 
 @partial(jax.jit, static_argnames=("img_w", "img_h", "ws", "hs",
                                    "hb_l", "wb_l"))
-def upsample_fdct_jit(padded_chroma, image2, image1, *, img_w, img_h,
-                      ws, hs, hb_l, wb_l):
+def _upsample_fdct_impl(padded_chroma, image2, image1, fence, *, img_w,
+                        img_h, ws, hs, hb_l, wb_l):
+    with fp32.fence_token(fence):
+        return _upsample_fdct_body(padded_chroma, image2, image1,
+                                   img_w=img_w, img_h=img_h, ws=ws, hs=hs,
+                                   hb_l=hb_l, wb_l=wb_l)
+
+
+def upsample_fdct_jit(padded_chroma, image2, image1, **cfg):
+    return _upsample_fdct_impl(padded_chroma, image2, image1,
+                               jnp.int32(0), **cfg)
+
+
+def _upsample_fdct_body(padded_chroma, image2, image1, *, img_w, img_h,
+                        ws, hs, hb_l, wb_l):
     """UPSAMPLE_UV: upsampled chroma plane -> luma-dim coefficients
     (reference: quantsmooth.h:2732-2750)."""
     mem = upsample_chroma(padded_chroma, image2, image1, img_w, img_h,
                           ws, hs, hb_l, wb_l)
     fb = (mem - CENTERJSAMPLE).astype(F)
-    out = fdct_float(plane_to_fblocks(fb, hb_l, wb_l))
-    return c_f32_to_i32(roundf(out.reshape(hb_l * wb_l, 64))).astype(
-        jnp.int16).reshape(hb_l, wb_l, 64)
+    out = planar.fdct_float_p(planar.plane_to_fblocks_p(fb, hb_l, wb_l))
+    out = c_f32_to_i32(roundf(out.reshape(64, hb_l * wb_l)))
+    return out.T.astype(jnp.int16).reshape(hb_l, wb_l, 64)
 
 
 @partial(jax.jit, static_argnames=())
@@ -217,12 +257,14 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
         luma = (ci == 0) or not img.is_ycbcr
         use_image2 = image2 is not None
         img2_arg = image2 if use_image2 else jnp.zeros((1, 1), dtype=I32)
+        want_plane = (image1 is not None
+                      or (ci == 0 and need_downsample))
 
         coef, padded, badv = component_smooth(
             coef16, qraw_j, jnp.asarray(div), jnp.asarray(x1),
             jnp.asarray(qshr), img2_arg, hb=hb, wb=wb, flags=flags,
             niter=num_iter2, extra_refresh=extra_refresh, luma=luma,
-            use_image2=use_image2)
+            use_image2=use_image2, want_plane=want_plane)
         res.coefs[ci] = np.asarray(coef.astype(jnp.int16)).reshape(hb, wb, 64)
         if bool(badv):
             stop = 1

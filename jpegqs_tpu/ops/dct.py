@@ -82,30 +82,36 @@ def idct_islow(coef):
 
 
 def _fdct_float_pass(x, scale=None):
-    """8-point float FDCT butterfly, exact fp32 order (idct.h:608-628)."""
-    z1 = x[0]; z2 = x[7]; t0 = z1 + z2; t7 = z1 - z2
-    z1 = x[1]; z2 = x[6]; t1 = z1 + z2; t6 = z1 - z2
-    z1 = x[2]; z2 = x[5]; t2 = z1 + z2; t5 = z1 - z2
-    z1 = x[3]; z2 = x[4]; t3 = z1 + z2; t4 = z1 - z2
-    z1 = t0 + t3; z4 = t0 - t3
-    z2 = t1 + t2; z3 = t1 - t2
-    o0 = z1 + z2; o4 = z1 - z2
-    z1 = (z3 + z4) * _f(0.541196100)
-    o2 = z1 + z4 * _f(0.765366865)
-    o6 = z1 - z3 * _f(1.847759065)
-    z1 = t4 + t7; z2 = t5 + t6
-    z3 = t4 + t6; z4 = t5 + t7
-    z5 = (z3 + z4) * _f(1.175875602)
-    t4 = t4 * _f(0.298631336); t5 = t5 * _f(2.053119869)
-    t6 = t6 * _f(3.072711026); t7 = t7 * _f(1.501321110)
-    z1 = z1 * _f(0.899976223); z2 = z2 * _f(2.562915447)
-    z3 = z3 * _f(1.961570560) - z5
-    z4 = z4 * _f(0.390180644) - z5
-    o7 = t4 - (z1 + z3); o5 = t5 - (z2 + z4)
-    o3 = t6 - (z2 + z3); o1 = t7 - (z1 + z4)
+    """8-point float FDCT butterfly, exact fp32 order (idct.h:608-628).
+
+    Every op goes through fp32.fadd/fsub/fmul so the rounding sequence
+    matches the C scalar build on every backend (see ops/fp32.py).
+    """
+    from .fp32 import fadd, fsub, fmul
+
+    z1 = x[0]; z2 = x[7]; t0 = fadd(z1, z2); t7 = fsub(z1, z2)
+    z1 = x[1]; z2 = x[6]; t1 = fadd(z1, z2); t6 = fsub(z1, z2)
+    z1 = x[2]; z2 = x[5]; t2 = fadd(z1, z2); t5 = fsub(z1, z2)
+    z1 = x[3]; z2 = x[4]; t3 = fadd(z1, z2); t4 = fsub(z1, z2)
+    z1 = fadd(t0, t3); z4 = fsub(t0, t3)
+    z2 = fadd(t1, t2); z3 = fsub(t1, t2)
+    o0 = fadd(z1, z2); o4 = fsub(z1, z2)
+    z1 = fmul(fadd(z3, z4), _f(0.541196100))
+    o2 = fadd(z1, fmul(z4, _f(0.765366865)))
+    o6 = fsub(z1, fmul(z3, _f(1.847759065)))
+    z1 = fadd(t4, t7); z2 = fadd(t5, t6)
+    z3 = fadd(t4, t6); z4 = fadd(t5, t7)
+    z5 = fmul(fadd(z3, z4), _f(1.175875602))
+    t4 = fmul(t4, _f(0.298631336)); t5 = fmul(t5, _f(2.053119869))
+    t6 = fmul(t6, _f(3.072711026)); t7 = fmul(t7, _f(1.501321110))
+    z1 = fmul(z1, _f(0.899976223)); z2 = fmul(z2, _f(2.562915447))
+    z3 = fsub(fmul(z3, _f(1.961570560)), z5)
+    z4 = fsub(fmul(z4, _f(0.390180644)), z5)
+    o7 = fsub(t4, fadd(z1, z3)); o5 = fsub(t5, fadd(z2, z4))
+    o3 = fsub(t6, fadd(z2, z3)); o1 = fsub(t7, fadd(z1, z4))
     out = [o0, o1, o2, o3, o4, o5, o6, o7]
     if scale is not None:
-        out = [o * scale for o in out]
+        out = [fmul(o, scale) for o in out]
     return out
 
 

@@ -53,9 +53,12 @@ def regression_scale(padded_a, padded_b):
     sumB = conv3x3(padded_b)
     sumAA = conv3x3_prod(padded_a, padded_a)
     sumAB = conv3x3_prod(padded_a, padded_b)
+    from . import fp32
+
     sAA = sumAA * 16 - sumA * sumA
     sAB = sumAB * 16 - sumA * sumB
-    scale = jnp.where(sAA != 0, sAB.astype(F) / sAA.astype(F), F(0))
+    scale = jnp.where(sAA != 0,
+                      fp32.fdiv(sAB.astype(F), sAA.astype(F)), F(0))
     scale = jnp.minimum(jnp.maximum(scale, F(-16.0)), F(16.0))
     return scale, sumA, sumB
 
@@ -67,11 +70,14 @@ def joint_yuv_fplane(padded_img, padded_img2):
     padded_img: chroma plane (+1px pad); padded_img2: downsampled luma
     (+1px pad).  Returns f32[H, W].
     """
+    from . import fp32
+
     a = padded_img2.astype(I32)
     b = padded_img.astype(I32)
     H, W = a.shape[0] - 2, a.shape[1] - 2
     scale, sumA, sumB = regression_scale(a, b)
     center2 = a[1:H + 1, 1:W + 1]
-    av = ((center2 * 16 - sumA).astype(F) * scale + sumB.astype(F)) * F(1.0 / 16)
-    av = jnp.maximum(av, F(0)) - F(CENTERJSAMPLE)
+    av = fp32.fmul(fp32.fadd(fp32.fmul((center2 * 16 - sumA).astype(F),
+                                       scale), sumB.astype(F)), F(1.0 / 16))
+    av = fp32.fsub(jnp.maximum(av, F(0)), F(CENTERJSAMPLE))
     return jnp.minimum(av, F(CENTERJSAMPLE))

@@ -61,18 +61,21 @@ def low_quality_fplane(padded_img, range_map):
     c0 = np.float32(2.0)
     c1 = np.float32(c0 * np.sqrt(np.float32(0.5)))
     cw = (F(c0), F(c1))
+    from . import fp32
+
     a = p[1:H + 1, 1:W + 1]
     acc0 = jnp.zeros((H, W), dtype=F)
     accn = jnp.zeros((H, W), dtype=F)
     for dx, dy, wi in _NEIGHBORS:
         nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
         t0 = (a - nb).astype(F)
+        # t0, range_map integral; t and t0*t stay below 2^24: exact.
         t = jnp.maximum(range_map - jnp.abs(t0), F(0))
         t = t * t
-        aw = cw[wi] * t
-        acc0 = acc0 + (t0 * t) * aw
-        accn = accn + aw * aw
-    corr = acc0 / accn
-    shifted = a.astype(F) - corr
+        aw = fp32.fmul(cw[wi], t)
+        acc0 = fp32.fadd(acc0, fp32.fmul(t0 * t, aw))
+        accn = fp32.fadd(accn, fp32.fmul(aw, aw))
+    corr = fp32.fdiv(acc0, accn)
+    shifted = fp32.fsub(a.astype(F), corr)
     newa = jnp.where(accn > F(0), c_f32_to_i32(shifted), a)
     return (newa - CENTERJSAMPLE).astype(F)

@@ -25,11 +25,13 @@ def roundf(x):
     Split x = trunc + frac (both exact for |x| < 2^23) and compare the
     fraction against 0.5; floor(x+0.5) is wrong one ulp below the tie.
     """
+    from .fp32 import fadd, fsub
+
     x = x.astype(F)
     t = jnp.trunc(x)
-    f = x - t
-    return (t + jnp.where(f >= F(0.5), F(1), F(0))
-              - jnp.where(f <= F(-0.5), F(1), F(0))).astype(F)
+    f = x - t  # exact by Sterbenz
+    return fsub(fadd(t, jnp.where(f >= F(0.5), F(1), F(0))),
+                jnp.where(f <= F(-0.5), F(1), F(0))).astype(F)
 
 
 def c_f32_to_i32(x):

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..specref import (NATURAL_ORDER, ZIGZAG_REFRESH, make_solver_tables,
                        N_TERMS)
+from . import fp32
 from .dct import idct_islow
 from .quant import roundf, c_f32_to_i32, get_orig_coef, interval_clamp
 
@@ -61,7 +62,7 @@ def _left_fold2(p2, p3):
     (the scalar C accumulation order, quantsmooth.h:1527-1546)."""
     def step(carry, x):
         a2, a3 = carry
-        return (a2 + x[0], a3 + x[1]), None
+        return (fp32.fadd(a2, x[0]), fp32.fadd(a3, x[1])), None
 
     zero = jnp.zeros(p2.shape[1:], dtype=F)
     (a2, a3), _ = jax.lax.scan(step, (zero, zero), (p2, p3))
@@ -104,14 +105,14 @@ def solve_blocks(coef, borders, div, x1, qshr, tables):
             lambda c, bo, bu, d, n: (bu, d, n),
             coef, borders, buf, diffs, need)
         rng = (div[i] * 2).astype(F)
-        t = jnp.maximum(rng - jnp.abs(diffs), F(0))
-        t = t * t
-        u = diffs * t
-        w = tab[i][None, :] * t
-        p2 = (u * w).T          # [242, B]
-        p3 = (w * w).T
+        t = jnp.maximum(rng - jnp.abs(diffs), F(0))  # integral: exact
+        t = t * t                                    # < 2^24: exact
+        u = fp32.fmul(diffs, t)
+        w = fp32.fmul(tab[i][None, :], t)
+        p2 = fp32.fmul(u, w).T          # [242, B]
+        p3 = fp32.fmul(w, w).T
         a2, a3 = _left_fold2(p2, p3)
-        delta = c_f32_to_i32(roundf(a2 / a3))
+        delta = c_f32_to_i32(roundf(fp32.fdiv(a2, a3)))
         coef1 = coef[:, i]
         a0 = get_orig_coef(coef1, div[i], x1[i], qshr[i])
         add = interval_clamp(coef1 - delta, a0, div[i])

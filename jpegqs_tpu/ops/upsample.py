@@ -34,11 +34,13 @@ def upsample_chroma(padded_chroma, padded_luma_ds, padded_luma,
 
     scale_full, _, _ = regression_scale(padded_luma_ds.astype(I32),
                                         padded_chroma.astype(I32))
+    from . import fp32
+
     scale = scale_full[:h1, :w1c]
     # offset = chroma - luma_ds*scale + 0.5 (quantsmooth.h:2367)
     imc = padded_chroma[1:h1 + 1, 1:w1c + 1].astype(F)
     iml = padded_luma_ds[1:h1 + 1, 1:w1c + 1].astype(F)
-    offset = imc - iml * scale + F(0.5)
+    offset = fp32.fadd(fp32.fsub(imc, fp32.fmul(iml, scale)), F(0.5))
 
     # out = trunc(luma_hi*scale + offset), clamp [0,255]
     # (quantsmooth.h:2379-2388)
@@ -49,7 +51,7 @@ def upsample_chroma(padded_chroma, padded_luma_ds, padded_luma,
     lum = lum.at[:ch, :cw].set(lum_src[:ch, :cw])
     scale_hi = jnp.repeat(jnp.repeat(scale, hs, axis=0), ws, axis=1)
     offset_hi = jnp.repeat(jnp.repeat(offset, hs, axis=0), ws, axis=1)
-    val = lum * scale_hi + offset_hi
+    val = fp32.fadd(fp32.fmul(lum, scale_hi), offset_hi)
     out_full = jnp.clip(jnp.trunc(val), 0, MAXJSAMPLE).astype(I32)
 
     out = jnp.zeros((hh, ww), dtype=I32)

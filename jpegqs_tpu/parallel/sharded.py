@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..options import LOW_QUALITY, NO_REBALANCE, NO_REBALANCE_UV, JOINT_YUV
+from ..ops import fp32
 from ..specref import make_solver_tables
 from ..ops.dct import idct_islow
 from ..ops.quant import fdct_clamp
@@ -114,8 +115,12 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     if not (flags & LOW_QUALITY):
         tables = make_solver_tables(flags)
 
-    def local_fn(coef16, qraw, div, x1, qshr):
+    def local_fn(coef16, qraw, div, x1, qshr, fence):
         # shapes (local): coef16 int16[hb_loc, wb, 64]
+        with fp32.fence_token(fence):
+            return _local_fn_body(coef16, qraw, div, x1, qshr)
+
+    def _local_fn_body(coef16, qraw, div, x1, qshr):
         B = hb_loc * wb
         prod = coef16.astype(I32).reshape(B, 64) * qraw[None, :]
         bad_loc = jnp.any(((prod + 0x800) >> 12) != 0)
@@ -137,19 +142,24 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
         return coef.reshape(hb_loc, wb, 64), badv
 
     if batch_axis is None:
-        in_specs = (P(row_axis, None, None), P(), P(), P(), P())
+        in_specs = (P(row_axis, None, None), P(), P(), P(), P(), P())
         out_specs = (P(row_axis, None, None), P())
         fn = local_fn
     else:
-        def fn(coef16, qraw, div, x1, qshr):
+        def fn(coef16, qraw, div, x1, qshr, fence):
             return jax.vmap(
-                lambda c: local_fn(c, qraw, div, x1, qshr))(coef16)
-        in_specs = (P(batch_axis, row_axis, None, None), P(), P(), P(), P())
+                lambda c: local_fn(c, qraw, div, x1, qshr, fence))(coef16)
+        in_specs = (P(batch_axis, row_axis, None, None),
+                    P(), P(), P(), P(), P())
         out_specs = (P(batch_axis, row_axis, None, None), P(batch_axis))
 
-    sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
-                        out_specs=out_specs, check_vma=False)
-    return jax.jit(sharded)
+    sharded = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                out_specs=out_specs, check_vma=False))
+
+    def run(coef16, qraw, div, x1, qshr):
+        return sharded(coef16, qraw, div, x1, qshr, jnp.int32(0))
+
+    return run
 
 
 def row_sharding(mesh, row_axis="row", batch_axis=None, batched=False):
