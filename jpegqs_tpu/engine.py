@@ -31,6 +31,7 @@ from .options import (DIAGONALS, JOINT_YUV, UPSAMPLE_UV, LOW_QUALITY,
 from .specref import make_solver_tables
 from .ops import planar
 from .ops import fp32
+from .ops import pallas_solver
 from .ops.quant import make_quant_tables, roundf, c_f32_to_i32
 from .ops.plane import downsample_plane
 from .ops.joint import joint_yuv_fplane
@@ -72,8 +73,18 @@ def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
                 div, x1, qshr)
     else:
         borders = planar.borders_from_blocks(pix, hb, wb)
+        do_reb = not (flags & NO_REBALANCE
+                      or (not luma and (flags & NO_REBALANCE_UV)))
+        if pallas_solver.use_pallas():
+            # fused sweep+rebalance kernel, VMEM-resident per tile
+            return pallas_solver.solve_rebalance(
+                coef, borders, div, x1, qshr, flags, do_reb,
+                fence=fp32.fence_value())
         coef = planar.solve_blocks_p(coef, borders, div, x1, qshr, tables,
                                      hb, wb)
+        if do_reb:
+            coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
+        return coef
 
     if flags & NO_REBALANCE:
         return coef

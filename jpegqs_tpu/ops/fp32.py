@@ -66,6 +66,14 @@ class fence_token:
         return False
 
 
+def fence_value():
+    """The installed runtime-zero token (or a literal zero outside any
+    fenced trace) — for passing into kernels that fence internally."""
+    if _TOKEN is None:
+        return jnp.zeros((), jnp.int32)
+    return _TOKEN
+
+
 def _fence(x):
     if _TOKEN is None:
         # Eager execution: each op runs as its own XLA program, which

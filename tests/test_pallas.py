@@ -1,0 +1,52 @@
+"""Pallas solver kernel vs the NumPy spec (interpreter mode on CPU).
+
+The compiled kernel is exercised against the reference binary by the
+engine differential suite when run on TPU
+(JPEGQS_TEST_PLATFORM=axon pytest tests/test_engine.py).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from jpegqs_tpu import specref
+from jpegqs_tpu.ops.quant import make_quant_tables
+from jpegqs_tpu.ops.pallas_solver import solve_rebalance, TILE_BLOCKS
+
+
+def _case(flags, do_rebalance, B, seed):
+    rng = np.random.default_rng(seed)
+    qtbl = rng.integers(1, 120, 64).astype(np.uint16)
+    qv = specref.make_quantval192(qtbl)
+    div, x1, qshr = make_quant_tables(qtbl)
+    tables = specref.make_solver_tables(flags)
+    coef = np.clip(rng.integers(-40, 41, (B, 64))
+                   * qtbl.astype(np.int32)[None, :], -32768, 32767
+                   ).astype(np.int32)
+    borders = rng.integers(0, 256, (B, 4, 8)).astype(np.int32)
+    want = specref.solve_blocks(coef, borders, qv, flags, tables)
+    if do_rebalance:
+        want = specref.rebalance_blocks(want, qv)
+    got = solve_rebalance(
+        jnp.asarray(coef.T),
+        tuple(jnp.asarray(borders[:, j].T) for j in range(4)),
+        jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr),
+        flags, do_rebalance, interpret=True)
+    got = np.asarray(got).T
+    assert np.array_equal(got, want), (
+        f"{(got != want).sum()} diffs, first {np.argwhere(got != want)[:3]}")
+
+
+@pytest.mark.parametrize("flags,do_rebalance", [(0, True), (1, True),
+                                                (1, False)])
+def test_kernel_matches_spec(flags, do_rebalance):
+    _case(flags, do_rebalance, 700, seed=3)
+
+
+def test_kernel_tile_padding():
+    """B not a multiple of the tile size exercises the pad path."""
+    _case(0, True, TILE_BLOCKS + 17, seed=9)
+
+
+def test_kernel_multi_tile():
+    _case(1, True, 2 * TILE_BLOCKS + 5, seed=11)
