@@ -23,6 +23,7 @@ __all__ = [
     "QsOptions", "quality_to_flags", "DIAGONALS", "JOINT_YUV",
     "UPSAMPLE_UV", "LOW_QUALITY", "NO_REBALANCE", "NO_REBALANCE_UV",
     "TRANSCODE", "ITER_MAX", "smooth", "smooth_jpeg_bytes",
+    "decode_smoothed", "smooth_many", "smooth_plane_batch",
 ]
 
 
@@ -34,3 +35,18 @@ def smooth(img, opts):
 def smooth_jpeg_bytes(data, opts=None, optimize=False):
     from . import engine
     return engine.smooth_jpeg_bytes(data, opts, optimize)
+
+
+def decode_smoothed(data, opts=None):
+    from . import engine
+    return engine.decode_smoothed(data, opts)
+
+
+def smooth_many(datas, opts=None, workers=4, optimize=False):
+    from . import batch
+    return batch.smooth_many(datas, opts, workers, optimize)
+
+
+def smooth_plane_batch(coefs, qtbl, flags, niter, luma=True):
+    from . import batch
+    return batch.smooth_plane_batch(coefs, qtbl, flags, niter, luma)

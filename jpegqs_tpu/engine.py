@@ -238,6 +238,16 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
     image2 = None   # downsampled luma padded plane (JOINT_YUV)
     up_planes = {}
     flags = opts.flags
+    ncomps = len(comps)
+
+    def report_progress(cur):
+        """Host callback between device steps (reference progress
+        plumbing: libjpegqs.h:43-44, quantsmooth.h:2632-2665).  A
+        truthy return cancels — remaining components fall back to
+        plain dequantization, keeping the output valid."""
+        if opts.progress is None:
+            return 0
+        return 1 if opts.progress(opts.userdata, cur, ncomps) else 0
 
     for ci, comp in enumerate(comps):
         qraw = np.asarray(comp.quantval, dtype=np.int32)
@@ -280,6 +290,9 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
         if bool(badv):
             stop = 1
             continue
+        if report_progress(ci + 1):
+            stop = 1
+            continue
 
         if image1 is not None:
             ws = comps[0].h_samp_factor
@@ -306,6 +319,15 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
         res.upsampled = (up_planes[1], up_planes[2])
     res.stop = stop
     return res
+
+
+def decode_smoothed(data: bytes, opts: QsOptions = None) -> np.ndarray:
+    """Decode a JPEG with smoothing applied — the library decode path
+    (reference: jpegqs_start_decompress, quantsmooth.h:2882-2905,
+    example.c:78-144).  Returns uint8 pixels (H, W) or (H, W, 3)."""
+    from .host.jpegio import decode_pixels
+
+    return decode_pixels(smooth_jpeg_bytes(data, opts))
 
 
 def smooth_jpeg_bytes(data: bytes, opts: QsOptions = None,

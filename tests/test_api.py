@@ -1,0 +1,59 @@
+"""Library API surface: progress/cancel, decode path, exports."""
+
+import numpy as np
+
+import jpegqs_tpu
+from jpegqs_tpu import engine
+from jpegqs_tpu.host import jpegio
+from jpegqs_tpu.options import QsOptions
+from util import make_jpeg, run_reference, coef_arrays
+
+
+def test_progress_callback_called_per_component():
+    data = make_jpeg(48, 48, "photo", seed=2, color=True, quality=70,
+                     subsamp=1)
+    img = jpegio.read_coefficients(data)
+    calls = []
+    opts = QsOptions.from_quality(3, 3, userdata="tok",
+                                  progress=lambda u, cur, n:
+                                  calls.append((u, cur, n)) and 0)
+    engine.smooth(img, opts)
+    assert calls == [("tok", 1, 3), ("tok", 2, 3), ("tok", 3, 3)]
+
+
+def test_progress_cancel_gives_valid_output():
+    """Cancel after component 1: remaining components fall back to
+    plain dequantization (reference cancel semantics,
+    quantsmooth.h:2647-2664)."""
+    data = make_jpeg(48, 48, "photo", seed=2, color=True, quality=70,
+                     subsamp=1)
+    img = jpegio.read_coefficients(data)
+    opts = QsOptions.from_quality(3, 3,
+                                  progress=lambda u, cur, n: cur >= 1)
+    res = engine.smooth(img, opts)
+    assert res.stop == 1
+    # comp 0 fully smoothed
+    full = engine.smooth(img, QsOptions.from_quality(3, 3))
+    assert np.array_equal(res.coefs[0], full.coefs[0])
+    # comps 1,2 = dequantized only
+    for ci in (1, 2):
+        c = img.components[ci]
+        dq = (c.coefs.astype(np.int32)
+              * c.quantval.astype(np.int32)[None, None, :]).astype(np.int16)
+        assert np.array_equal(res.coefs[ci], dq)
+
+
+def test_decode_smoothed_matches_reference_decode():
+    data = make_jpeg(48, 56, "photo", seed=4, color=True, quality=70,
+                     subsamp=1)
+    ours = jpegs = jpegqs_tpu.decode_smoothed(
+        data, QsOptions.from_quality(3, 3))
+    assert ours.shape == (48, 56, 3) and ours.dtype == np.uint8
+    ref_bytes = run_reference(data, 3, 3)
+    ref_pix = jpegio.decode_pixels(ref_bytes)
+    assert np.array_equal(ours, ref_pix)
+
+
+def test_public_exports():
+    for name in jpegqs_tpu.__all__:
+        assert hasattr(jpegqs_tpu, name), name

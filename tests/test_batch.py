@@ -1,0 +1,40 @@
+"""Batch engine: batched results == per-image engine results."""
+
+import numpy as np
+import pytest
+
+from jpegqs_tpu import engine, batch
+from jpegqs_tpu.host import jpegio
+from jpegqs_tpu.options import QsOptions
+from util import make_jpeg
+
+
+def test_smooth_many_matches_sequential():
+    datas = [make_jpeg(48, 48, "photo", seed=s, quality=70)
+             for s in range(4)]
+    datas.append(make_jpeg(48, 64, "photo", seed=9, color=True,
+                           quality=60, subsamp=1))
+    opts = QsOptions.from_quality(3, 3)
+    seq = [engine.smooth_jpeg_bytes(d, opts) for d in datas]
+    par = batch.smooth_many(datas, opts, workers=3)
+    assert seq == par
+
+
+@pytest.mark.parametrize("quality", [0, 3, 4])
+def test_plane_batch_matches_engine(quality):
+    from jpegqs_tpu.options import quality_to_flags
+
+    datas = [make_jpeg(48, 48, "photo", seed=s, quality=70)
+             for s in range(3)]
+    imgs = [jpegio.read_coefficients(d) for d in datas]
+    qtbl = imgs[0].components[0].quantval
+    for im in imgs:
+        assert np.array_equal(im.components[0].quantval, qtbl)
+    coefs = np.stack([im.components[0].coefs for im in imgs])
+    flags = quality_to_flags(quality)
+
+    got = batch.smooth_plane_batch(coefs, qtbl, flags, 3)
+    opts = QsOptions(flags=flags, niter=3)
+    for i, im in enumerate(imgs):
+        want = engine.smooth(im, opts).coefs[0]
+        assert np.array_equal(got[i], want), f"image {i}"
