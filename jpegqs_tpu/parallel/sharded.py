@@ -98,12 +98,19 @@ def _local_block_pass(coef, padded, image2, div, x1, qshr, flags, tables,
 
 def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                         extra_refresh=0, luma=True, row_axis="row",
-                        batch_axis=None):
+                        batch_axis=None, use_image2=False):
     """Build a jitted sharded component smoother.
 
-    Returns fn(coef16, qraw, div, x1, qshr) -> (coef, badv) where
-    coef16 is int16[(batch,)? hb, wb, 64] sharded (batch_axis?, row_axis)
-    over the mesh.  hb must divide evenly by the row-axis size.
+    Returns fn(coef16, qraw, div, x1, qshr[, image2]) -> (coef, badv)
+    where coef16 is int16[(batch,)? hb, wb, 64] sharded
+    (batch_axis?, row_axis) over the mesh.  hb must divide evenly by
+    the row-axis size.
+
+    With use_image2 (JOINT_YUV chroma pass), image2 is the downsampled
+    luma plane *interior* int32[hb*8, wb*8], row-sharded like the
+    coefficients; its 1-pixel halo is exchanged on device alongside
+    the component plane's (reference reads image2 through the same
+    padded-plane pattern, quantsmooth.h:893-920).
 
     The whole niter loop runs inside one jitted program; each iteration
     does local IDCT -> halo exchange -> local block pass.
@@ -115,18 +122,22 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     if not (flags & LOW_QUALITY):
         tables = make_solver_tables(flags)
 
-    def local_fn(coef16, qraw, div, x1, qshr, fence):
+    def local_fn(coef16, qraw, div, x1, qshr, image2, fence):
         # shapes (local): coef16 int16[hb_loc, wb, 64]
         with fp32.fence_token(fence):
-            return _local_fn_body(coef16, qraw, div, x1, qshr)
+            return _local_fn_body(coef16, qraw, div, x1, qshr, image2)
 
-    def _local_fn_body(coef16, qraw, div, x1, qshr):
+    def _local_fn_body(coef16, qraw, div, x1, qshr, image2):
         B = hb_loc * wb
         prod = coef16.astype(I32).reshape(B, 64) * qraw[None, :]
         bad_loc = jnp.any(((prod + 0x800) >> 12) != 0)
         badv = jax.lax.pmax(bad_loc.astype(I32), row_axis) > 0
         coef = prod.astype(jnp.int16).astype(I32)
         coef_dq = coef
+
+        img2_padded = None
+        if use_image2 and (flags & JOINT_YUV):
+            img2_padded = _build_padded_local(image2, row_axis)
 
         for it in range(niter + extra_refresh):
             pix = idct_islow(coef.reshape(B, 8, 8))
@@ -135,29 +146,34 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
             padded = _build_padded_local(interior, row_axis)
             if it == niter:
                 break
-            coef = _local_block_pass(coef, padded, None, div, x1, qshr,
-                                     flags, tables, luma, hb_loc, wb)
+            coef = _local_block_pass(coef, padded, img2_padded, div, x1,
+                                     qshr, flags, tables, luma, hb_loc, wb)
         coef = jnp.where(badv, coef_dq, coef)
         coef = jnp.clip(coef, -1023, 1023)
         return coef.reshape(hb_loc, wb, 64), badv
 
+    img2_spec = P(row_axis, None)
     if batch_axis is None:
-        in_specs = (P(row_axis, None, None), P(), P(), P(), P(), P())
+        in_specs = (P(row_axis, None, None), P(), P(), P(), P(),
+                    img2_spec, P())
         out_specs = (P(row_axis, None, None), P())
         fn = local_fn
     else:
-        def fn(coef16, qraw, div, x1, qshr, fence):
+        def fn(coef16, qraw, div, x1, qshr, image2, fence):
             return jax.vmap(
-                lambda c: local_fn(c, qraw, div, x1, qshr, fence))(coef16)
+                lambda c: local_fn(c, qraw, div, x1, qshr, image2,
+                                   fence))(coef16)
         in_specs = (P(batch_axis, row_axis, None, None),
-                    P(), P(), P(), P(), P())
+                    P(), P(), P(), P(), img2_spec, P())
         out_specs = (P(batch_axis, row_axis, None, None), P(batch_axis))
 
     sharded = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs, check_vma=False))
 
-    def run(coef16, qraw, div, x1, qshr):
-        return sharded(coef16, qraw, div, x1, qshr, jnp.int32(0))
+    def run(coef16, qraw, div, x1, qshr, image2=None):
+        if image2 is None:
+            image2 = jnp.zeros((hb * 8, wb * 8), I32)
+        return sharded(coef16, qraw, div, x1, qshr, image2, jnp.int32(0))
 
     return run
 

@@ -88,6 +88,59 @@ def test_sharded_batch_dp():
         assert np.array_equal(got[i], wants[i]), f"image {i}"
 
 
+def test_sharded_joint_yuv_matches_single_device():
+    """JOINT_YUV chroma pass with a row-sharded image2 (+halo)."""
+    hb, wb = 16, 8
+    rng = np.random.default_rng(21)
+    coef16, qtbl = _component(hb, wb, seed=21)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    # a synthetic downsampled-luma padded plane (interior + 1px pad)
+    interior = rng.integers(0, 256, (hb * 8, wb * 8)).astype(np.int32)
+    image2_padded = np.pad(interior, 1, mode="edge")
+    flags = 2 | 1  # JOINT_YUV | DIAGONALS
+
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.asarray(image2_padded),
+        hb=hb, wb=wb, flags=flags, niter=2, extra_refresh=0,
+        luma=False, use_image2=True)
+    want = np.asarray(want).reshape(hb, wb, 64)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags, niter=2,
+                             luma=False, use_image2=True)
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr),
+                   jnp.asarray(interior))
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_large_plane():
+    """A taller plane (pano analogue scaled for CPU test time):
+    many block rows per shard, multiple halo exchanges."""
+    hb, wb = 64, 24   # 512x192 px
+    coef16, qtbl = _component(hb, wb, seed=33)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=1, niter=2, extra_refresh=0, luma=True,
+        use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=1, niter=2,
+                             luma=True)
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    assert np.array_equal(np.asarray(got), want)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
