@@ -202,6 +202,102 @@ def dequant_fallback_jit(coef16, qraw):
     return _int16_wrap(coef16.astype(I32) * qraw[None, :]).astype(jnp.int16)
 
 
+# ---------------------------------------------------------------------------
+# Whole-image program: all components in one device dispatch
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _image_smooth_impl(inputs, fence, *, cfg):
+    """One device program for the whole image (reference component loop
+    quantsmooth.h:2484-2849 fused): comp sequencing, downsample,
+    JOINT_YUV, UPSAMPLE_UV, crafted-file stop propagation.
+
+    inputs: tuple per component of (coef16[B,64] i16, qraw, div, x1,
+    qshr).  cfg: hashable _ImageCfg.  Returns (outs int16, badvs,
+    upsampled dict) with badv-stop propagation done on device: once a
+    component trips the dequantization guard, later components are
+    plain-dequantized (unclamped), exactly like the host path.
+    """
+    with fp32.fence_token(fence):
+        flags = cfg.flags
+        image1 = None
+        image2 = None
+        stop = jnp.zeros((), jnp.bool_)
+        outs = []
+        badvs = []
+        ups = {}
+        for ci, cc in enumerate(cfg.comps):
+            coef16, qraw, div, x1, qshr = inputs[ci]
+            dq16 = _int16_wrap(coef16.astype(I32)
+                               * qraw[None, :]).astype(jnp.int16)
+            if cc.mode == "dequant":
+                outs.append(dq16)
+                continue
+            img2_arg = image2 if image2 is not None else jnp.zeros(
+                (1, 1), dtype=I32)
+            coef, padded, badv = _component_smooth_body(
+                coef16, qraw, div, x1, qshr, img2_arg,
+                hb=cc.hb, wb=cc.wb, flags=flags, niter=cc.niter2,
+                extra_refresh=cc.extra_refresh, luma=cc.luma,
+                use_image2=image2 is not None, want_plane=cc.want_plane)
+            out16 = jnp.where(stop, dq16, coef.astype(jnp.int16))
+            outs.append(out16)
+            badvs.append(badv)
+            stop = stop | badv
+            if image1 is not None:
+                ups[str(ci)] = _upsample_fdct_body(
+                    padded, image2, image1, img_w=cfg.img_w,
+                    img_h=cfg.img_h, ws=cfg.ws, hs=cfg.hs,
+                    hb_l=cfg.comps[0].hb, wb_l=cfg.comps[0].wb)
+            elif ci == 0 and cfg.need_downsample:
+                if cfg.ws == 1 and cfg.hs == 1:
+                    image2 = padded
+                else:
+                    if flags & UPSAMPLE_UV:
+                        image1 = padded
+                    image2 = downsample_plane(
+                        padded, cfg.comps[0].hb, cfg.comps[0].wb,
+                        cfg.comps[1].hb, cfg.comps[1].wb, cfg.ws, cfg.hs)
+        return tuple(outs), tuple(badvs), ups
+
+
+class _CompCfg:
+    __slots__ = ("hb", "wb", "niter2", "extra_refresh", "luma", "mode",
+                 "want_plane")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def _key(self):
+        return tuple(getattr(self, k) for k in self.__slots__)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _CompCfg) and self._key() == other._key()
+
+
+class _ImageCfg:
+    __slots__ = ("flags", "need_downsample", "img_w", "img_h", "ws", "hs",
+                 "comps")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def _key(self):
+        return (self.flags, self.need_downsample, self.img_w, self.img_h,
+                self.ws, self.hs, self.comps)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _ImageCfg) and self._key() == other._key()
+
+
 class SmoothResult:
     """Engine output: transformed (quant=1) coefficient planes."""
 
@@ -215,10 +311,101 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
     """Run the full engine on a decoded-to-coefficients JPEG.
 
     ``img`` is a host.jpegio.JpegImage.  The JAX equivalent of
-    do_quantsmooth (reference: quantsmooth.h:2404-2878); component
-    sequencing and the rare crafted-file aborts stay host-side, all
-    math runs on device.
+    do_quantsmooth (reference: quantsmooth.h:2404-2878).  Without a
+    progress callback the whole image runs as ONE device program
+    (component sequencing, downsample, JOINT/UPSAMPLE and stop
+    propagation all on device); with a callback it falls back to
+    per-component dispatches so the host can interleave.
     """
+    if opts.progress is None:
+        return _smooth_fused(img, opts)
+    return _smooth_percomp(img, opts)
+
+
+def _smooth_fused(img, opts: QsOptions) -> SmoothResult:
+    res = SmoothResult()
+    comps = img.components
+    res.coefs = [np.asarray(c.coefs, dtype=np.int16).copy() for c in comps]
+
+    need_downsample = (
+        bool(opts.flags & (JOINT_YUV | UPSAMPLE_UV)) and img.is_ycbcr
+        and len(comps) >= 3
+        and comps[1].h_samp_factor == 1 and comps[1].v_samp_factor == 1
+        and comps[2].h_samp_factor == 1 and comps[2].v_samp_factor == 1)
+
+    num_iter = min(max(opts.niter, 0), ITER_MAX)
+    if num_iter <= 0 and not ((opts.flags & UPSAMPLE_UV) and need_downsample):
+        return res
+
+    flags = opts.flags
+    ws = comps[0].h_samp_factor
+    hs = comps[0].v_samp_factor
+    static_stop = False
+    comp_cfgs = []
+    prog_inputs = []
+    prog_index = {}          # ci -> index into program inputs/outputs
+    image1_live = False      # image1 will exist for later components
+    downsample_live = False
+
+    for ci, comp in enumerate(comps):
+        qraw = np.asarray(comp.quantval, dtype=np.int32)
+        if not qraw.any():
+            continue
+        hb, wb = comp.height_in_blocks, comp.width_in_blocks
+        extra_refresh = 1 if (image1_live
+                              or (ci == 0 and need_downsample)) else 0
+        num_iter2 = num_iter
+        val = int(np.bitwise_or.reduce(qraw))
+        if val <= 1:
+            num_iter2 = 0       # already processed (quantsmooth.h:2500-2501)
+        if val >= 0x800:
+            static_stop = True  # crafted file (quantsmooth.h:2502-2504)
+        if num_iter2 + extra_refresh == 0:
+            continue
+        mode = "dequant" if static_stop else "smooth"
+        luma = (ci == 0) or not img.is_ycbcr
+        want_plane = (mode == "smooth"
+                      and (image1_live or (ci == 0 and need_downsample)))
+        comp_cfgs.append(_CompCfg(hb=hb, wb=wb, niter2=num_iter2,
+                                  extra_refresh=extra_refresh, luma=luma,
+                                  mode=mode, want_plane=want_plane))
+        div, x1, qshr = make_quant_tables(qraw)
+        prog_inputs.append((
+            jnp.asarray(res.coefs[ci].reshape(hb * wb, 64)),
+            jnp.asarray(qraw), jnp.asarray(div), jnp.asarray(x1),
+            jnp.asarray(qshr)))
+        prog_index[ci] = len(comp_cfgs) - 1
+        if mode == "smooth" and ci == 0 and need_downsample:
+            if not (ws == 1 and hs == 1) and (flags & UPSAMPLE_UV):
+                image1_live = True
+            downsample_live = True
+
+    if not comp_cfgs:
+        res.stop = 1 if static_stop else 0
+        return res
+
+    cfg = _ImageCfg(flags=flags, need_downsample=downsample_live,
+                    img_w=img.width, img_h=img.height, ws=ws, hs=hs,
+                    comps=tuple(comp_cfgs))
+    outs, badvs, ups = _image_smooth_impl(tuple(prog_inputs),
+                                          jnp.int32(0), cfg=cfg)
+    stop = 1 if static_stop else 0
+    if any(bool(b) for b in badvs):
+        stop = 1
+    for ci, pi in prog_index.items():
+        hb = comp_cfgs[pi].hb
+        wb = comp_cfgs[pi].wb
+        res.coefs[ci] = np.asarray(outs[pi]).reshape(hb, wb, 64)
+    if not stop and image1_live:
+        up1 = ups.get(str(prog_index.get(1)))
+        up2 = ups.get(str(prog_index.get(2)))
+        if up1 is not None and up2 is not None:
+            res.upsampled = (np.asarray(up1), np.asarray(up2))
+    res.stop = stop
+    return res
+
+
+def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
     res = SmoothResult()
     comps = img.components
     res.coefs = [np.asarray(c.coefs, dtype=np.int16).copy() for c in comps]
