@@ -79,38 +79,36 @@ def main():
 
     from jpegqs_tpu.host import jpegio
     from jpegqs_tpu import engine
-    from jpegqs_tpu.options import QsOptions, quality_to_flags
-    from jpegqs_tpu.ops.quant import make_quant_tables
+    from jpegqs_tpu.options import QsOptions
+
+    def device_rate(img, quality):
+        """MP/s of the whole-image device program (inputs resident)."""
+        opts = QsOptions.from_quality(quality, NITER)
+        inputs, cfg, _ = engine.prepare_fused(img, opts)
+        fence = jnp.int32(0)
+        out = engine._image_smooth_impl(inputs, fence, cfg=cfg)
+        _ = np.asarray(out[0][0])   # sync (block_until_ready is
+                                    # unreliable through the relay)
+        best = None
+        for _ in range(MEASURES):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = engine._image_smooth_impl(inputs, fence, cfg=cfg)
+            _ = np.asarray(out[0][0][0, 0])  # drain the queue
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return K * img.width * img.height / 1e6 / best
 
     img = jpegio.read_coefficients(data)
-    comp = img.components[0]
-    hb, wb = comp.height_in_blocks, comp.width_in_blocks
-    qraw = np.asarray(comp.quantval, np.int32)
-    div, x1, qshr = make_quant_tables(qraw)
-    coef16 = jax.device_put(comp.coefs.reshape(-1, 64))
-    qraw_d, div_d, x1_d, qshr_d = map(
-        jax.device_put, (qraw, div, x1, qshr))
-    dummy2 = jnp.zeros((1, 1), jnp.int32)
-    flags = quality_to_flags(QUALITY)
+    mps = device_rate(img, QUALITY)
 
-    def step(c):
-        out, _, _ = engine.component_smooth(
-            c, qraw_d, div_d, x1_d, qshr_d, dummy2, hb=hb, wb=wb,
-            flags=flags, niter=NITER, extra_refresh=0, luma=True,
-            use_image2=False, want_plane=False)
-        return out.astype(jnp.int16)
-
-    out = step(coef16)
-    _ = np.asarray(out)  # true sync (block_until_ready is unreliable
-                         # through the relay)
-    best = None
-    for _ in range(MEASURES):
-        t0 = time.perf_counter()
-        outs = [step(coef16) for _ in range(K)]
-        _ = np.asarray(outs[-1][0, 0])  # sync the queue
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    mps = K * H * W / 1e6 / best
+    # color sweep (secondary info)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from util import make_jpeg
+    cimg = jpegio.read_coefficients(
+        make_jpeg(H, W, "photo", seed=43, color=True, quality=75,
+                  subsamp=1))
+    color = {q: round(device_rate(cimg, q), 1) for q in (3, 6, 0)}
 
     # end-to-end single image (includes tunnel transfer both ways)
     opts = QsOptions.from_quality(QUALITY, NITER)
@@ -122,7 +120,8 @@ def main():
     backend = jax.default_backend()
     print(json.dumps({
         "metric": f"MP/s q{QUALITY} n{NITER} gray 2.1MP device compute "
-                  f"({backend}; e2e-with-tunnel-transfer {e2e:.1f})",
+                  f"({backend}; color q3/q6/q0: {color[3]}/{color[6]}/"
+                  f"{color[0]}; e2e-with-tunnel-transfer {e2e:.1f})",
         "value": round(mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mps / base_mps, 3),

@@ -322,11 +322,12 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
     return _smooth_percomp(img, opts)
 
 
-def _smooth_fused(img, opts: QsOptions) -> SmoothResult:
-    res = SmoothResult()
+def prepare_fused(img, opts: QsOptions):
+    """Build the device inputs and static config for the whole-image
+    program.  Returns (inputs, cfg, meta) or None when there is
+    nothing to run on device.  Exposed so callers (bench, pipelines)
+    can keep inputs device-resident across repeated runs."""
     comps = img.components
-    res.coefs = [np.asarray(c.coefs, dtype=np.int16).copy() for c in comps]
-
     need_downsample = (
         bool(opts.flags & (JOINT_YUV | UPSAMPLE_UV)) and img.is_ycbcr
         and len(comps) >= 3
@@ -335,7 +336,7 @@ def _smooth_fused(img, opts: QsOptions) -> SmoothResult:
 
     num_iter = min(max(opts.niter, 0), ITER_MAX)
     if num_iter <= 0 and not ((opts.flags & UPSAMPLE_UV) and need_downsample):
-        return res
+        return None
 
     flags = opts.flags
     ws = comps[0].h_samp_factor
@@ -371,7 +372,8 @@ def _smooth_fused(img, opts: QsOptions) -> SmoothResult:
                                   mode=mode, want_plane=want_plane))
         div, x1, qshr = make_quant_tables(qraw)
         prog_inputs.append((
-            jnp.asarray(res.coefs[ci].reshape(hb * wb, 64)),
+            jnp.asarray(np.asarray(comp.coefs, np.int16).reshape(
+                hb * wb, 64)),
             jnp.asarray(qraw), jnp.asarray(div), jnp.asarray(x1),
             jnp.asarray(qshr)))
         prog_index[ci] = len(comp_cfgs) - 1
@@ -380,15 +382,34 @@ def _smooth_fused(img, opts: QsOptions) -> SmoothResult:
                 image1_live = True
             downsample_live = True
 
+    cfg = _ImageCfg(flags=flags, need_downsample=downsample_live,
+                    img_w=img.width, img_h=img.height, ws=ws, hs=hs,
+                    comps=tuple(comp_cfgs))
+    meta = {"static_stop": static_stop, "prog_index": prog_index,
+            "image1_live": image1_live}
+    return tuple(prog_inputs), cfg, meta
+
+
+def _smooth_fused(img, opts: QsOptions) -> SmoothResult:
+    res = SmoothResult()
+    comps = img.components
+    res.coefs = [np.asarray(c.coefs, dtype=np.int16).copy() for c in comps]
+
+    prep = prepare_fused(img, opts)
+    if prep is None:
+        return res
+    prog_inputs, cfg, meta = prep
+    static_stop = meta["static_stop"]
+    prog_index = meta["prog_index"]
+    image1_live = meta["image1_live"]
+    comp_cfgs = cfg.comps
+
     if not comp_cfgs:
         res.stop = 1 if static_stop else 0
         return res
 
-    cfg = _ImageCfg(flags=flags, need_downsample=downsample_live,
-                    img_w=img.width, img_h=img.height, ws=ws, hs=hs,
-                    comps=tuple(comp_cfgs))
-    outs, badvs, ups = _image_smooth_impl(tuple(prog_inputs),
-                                          jnp.int32(0), cfg=cfg)
+    outs, badvs, ups = _image_smooth_impl(prog_inputs, jnp.int32(0),
+                                          cfg=cfg)
     stop = 1 if static_stop else 0
     if any(bool(b) for b in badvs):
         stop = 1

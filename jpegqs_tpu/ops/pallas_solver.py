@@ -68,7 +68,10 @@ def _round_up(x, m):
 # In-kernel helpers (jnp on values; fp32 results XOR-fenced)
 # ---------------------------------------------------------------------------
 
-def _mkfence(tok):
+def _mkfence(tok, fenced):
+    if not fenced:
+        return lambda x: x
+
     def fence(x):
         return jax.lax.bitcast_convert_type(
             jax.lax.bitcast_convert_type(x, jnp.int32) ^ tok, F)
@@ -170,12 +173,12 @@ def _interval_clamp(add, a0, div):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _solve_kernel(nt, ntp, do_rebalance,
+def _solve_kernel(nt, ntp, do_rebalance, fenced,
                   iseq_ref, refr_ref, div_ref, x1_ref, qshr_ref, tab_ref,
                   fence_ref,
                   coef_ref, bord_ref, out_ref,
                   diffs_ref, absd_ref, need_ref):
-    fence = _mkfence(fence_ref[0])
+    fence = _mkfence(fence_ref[0], fenced)
     out_ref[...] = coef_ref[...]
     need_ref[...] = jnp.ones((8, 128), I32)
 
@@ -282,15 +285,15 @@ def _solve_kernel(nt, ntp, do_rebalance,
 
 
 @functools.partial(jax.jit, static_argnames=("flags", "do_rebalance",
-                                             "interpret"))
+                                             "interpret", "fenced"))
 def _solve_tiled(coef_t, bord_t, div, x1, qshr, fence, *, flags,
-                 do_rebalance, interpret):
+                 do_rebalance, interpret, fenced):
     g = coef_t.shape[0]
     nt = _nt_for(flags)
     ntp = _round_up(nt, 8)
     tabf = np.zeros((64, ntp), dtype=np.float32)
     tabf[:, :nt] = make_solver_tables(flags)[:, :nt]
-    kernel = functools.partial(_solve_kernel, nt, ntp, do_rebalance)
+    kernel = functools.partial(_solve_kernel, nt, ntp, do_rebalance, fenced)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(g,),
@@ -323,12 +326,19 @@ def _solve_tiled(coef_t, bord_t, div, x1, qshr, fence, *, flags,
 
 
 def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
-                    fence=None, interpret=False):
+                    fence=None, interpret=False, fenced=None):
     """Drop-in replacement for planar solve_blocks_p (+rebalance).
 
     coef int32[64, B]; borders (top, bottom, left, right) int32[8, B];
     returns int32[64, B].
+
+    ``fenced``: XOR-fence every fp32 op.  Defaults to off on compiled
+    TPU (Mosaic emits plain IEEE mul/add — verified bit-exact against
+    the reference) and on in interpreter mode (which lowers through
+    XLA:CPU, where FMA contraction is real).
     """
+    if fenced is None:
+        fenced = interpret or jax.default_backend() != "tpu"
     B = coef.shape[1]
     bp = _round_up(B, TILE_BLOCKS)
     g = bp // TILE_BLOCKS
@@ -342,6 +352,6 @@ def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
         fence = jnp.zeros((), I32)
     out_t = _solve_tiled(coef_t, bord_t, div, x1, qshr, fence,
                          flags=flags, do_rebalance=do_rebalance,
-                         interpret=interpret)
+                         interpret=interpret, fenced=fenced)
     out = out_t.transpose(1, 0, 2, 3).reshape(64, bp)
     return out[:, :B]
