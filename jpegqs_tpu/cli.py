@@ -154,6 +154,14 @@ def main(argv=None) -> int:
                     for row in q:
                         print("  " + " ".join(f"{v:3d}" for v in row),
                               file=sys.stderr)
+            if info & 16:
+                # backend/kernel report — the INFO_CPU analogue
+                # (reference: libjpegqs.c:131-135 prints the SIMD type)
+                import jax
+                from .ops.pallas_solver import use_pallas
+                print(f"backend: {jax.default_backend()}, "
+                      f"solver: {'pallas' if use_pallas() else 'xla'}",
+                      file=sys.stderr)
             t0 = time.monotonic()
             res = engine.smooth(img, qs_opts)
             elapsed = (time.monotonic() - t0) * 1000
