@@ -38,6 +38,7 @@ Options:
   -f, --flags n     Raw algorithm flag override (masked to 0x7F)
   -c, --copy n      Marker copy: 0 - none, 1 - comments, 2 - all (default)
       --backend s   JAX platform: tpu (default), cpu
+      --trace dir   Write an XLA profiler trace of the smoothing phase
 """
 
 
@@ -46,7 +47,7 @@ def parse_args(argv):
     opts = {
         "optimize": False, "verbose": 0, "info": 15, "copy": 2,
         "quality": 3, "niter": -1, "flags": -1, "threads": 0,
-        "backend": None,
+        "backend": None, "trace": None,
     }
     short = {"o": "--optimize", "v": "--verbose", "i": "--info",
              "n": "--niter", "q": "--quality", "t": "--threads",
@@ -89,7 +90,7 @@ def parse_args(argv):
             i += 2
         else:
             i += 1
-        if key == "backend":
+        if key in ("backend", "trace"):
             opts[key] = val
         else:
             if not val.isdigit() and not (val.startswith("-")
@@ -163,7 +164,12 @@ def main(argv=None) -> int:
                       f"solver: {'pallas' if use_pallas() else 'xla'}",
                       file=sys.stderr)
             t0 = time.monotonic()
-            res = engine.smooth(img, qs_opts)
+            if opts["trace"]:
+                from .utils.profiling import device_trace
+                with device_trace(opts["trace"]):
+                    res = engine.smooth(img, qs_opts)
+            else:
+                res = engine.smooth(img, qs_opts)
             elapsed = (time.monotonic() - t0) * 1000
             if info & 8:
                 print(f"time: {elapsed:.3f} ms", file=sys.stderr)
