@@ -20,14 +20,11 @@ Bit-exactness notes:
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..specref import (NATURAL_ORDER, ZIGZAG_REFRESH, make_solver_tables,
-                       N_TERMS)
+from ..specref import NATURAL_ORDER, ZIGZAG_REFRESH, N_TERMS
 from . import fp32
 from .dct import idct_islow
 from .quant import roundf, c_f32_to_i32, get_orig_coef, interval_clamp
@@ -130,8 +127,3 @@ def solve_blocks(coef, borders, div, x1, qshr, tables):
     return coef
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _solve_jit(coef, borders, qtabs, flags):
-    div, x1, qshr = qtabs
-    tables = make_solver_tables(flags)
-    return solve_blocks(coef, borders, div, x1, qshr, tables)
