@@ -30,7 +30,6 @@ from .options import QsOptions, NO_REBALANCE, NO_REBALANCE_UV, LOW_QUALITY
 from .specref import make_solver_tables
 from .ops import planar, fp32, pallas_solver
 from .ops.quant import make_quant_tables
-from .ops.lowq import low_quality_fplane
 
 F = jnp.float32
 I32 = jnp.int32
@@ -95,15 +94,11 @@ def _plane_batch_body(coef16, qraw, div, x1, qshr, *, n, hb, wb, flags,
             in_axes=2, out_axes=1)(pix_n)
         borders = tuple(b.reshape(8, NB) for b in (bt, bb, bl, br))
         if flags & LOW_QUALITY:
-            rng = planar.low_quality_range_p(coef, div)
-            range_map = jnp.repeat(jnp.repeat(
-                rng.reshape(n, hb, wb), 8, 1), 8, 2)
-            planes = jax.vmap(lambda p: planar.pix_to_plane(p, hb, wb),
-                              in_axes=2)(pix_n)
-            fplanes = jax.vmap(low_quality_fplane)(planes, range_map)
-            fb = jax.vmap(lambda fp: planar.plane_to_fblocks_p(fp, hb, wb)
-                          )(fplanes)                      # [N, 8, 8, B]
-            fb = fb.transpose(1, 2, 0, 3).reshape(8, 8, NB)
+            rng = planar.low_quality_range_p(coef, div)   # [NB]
+            halos = jax.vmap(lambda p: planar.blocks_halo10(p, hb, wb),
+                             in_axes=2, out_axes=2)(pix_n)  # [10,10,N,B]
+            fb = planar.low_quality_fblocks(
+                halos.reshape(10, 10, NB), rng)
             coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
             if do_reb:
                 coef = planar.rebalance_blocks_p(coef, div, x1, qshr)

@@ -34,8 +34,6 @@ from .ops import fp32
 from .ops import pallas_solver
 from .ops.quant import make_quant_tables, roundf, c_f32_to_i32
 from .ops.plane import downsample_plane
-from .ops.joint import joint_yuv_fplane
-from .ops.lowq import low_quality_fplane
 from .ops.upsample import upsample_chroma
 
 F = jnp.float32
@@ -54,23 +52,19 @@ def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
     (reference: quantsmooth.h:564-1848; driver loop 2624-2651).
 
     coef int32[64, B]; pix int32[8, 8, B] (current pixel blocks);
-    image2: downsampled-luma padded plane or None.
+    image2: downsampled-luma halos int32[10, 10, B] or None.
     """
     if image2 is not None:
-        fplane = joint_yuv_fplane(planar.pix_to_plane(pix, hb, wb), image2)
-        coef = planar.fdct_clamp_p(
-            planar.plane_to_fblocks_p(fplane, hb, wb), coef, div, x1, qshr)
+        fb = planar.joint_yuv_fblocks(planar.blocks_halo10(pix, hb, wb),
+                                      image2)
+        coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
 
     if flags & LOW_QUALITY:
         if image2 is None:
             rng = planar.low_quality_range_p(coef, div)
-            range_map = jnp.repeat(jnp.repeat(rng.reshape(hb, wb), 8, 0),
-                                   8, 1)
-            fplane = low_quality_fplane(planar.pix_to_plane(pix, hb, wb),
-                                        range_map)
-            coef = planar.fdct_clamp_p(
-                planar.plane_to_fblocks_p(fplane, hb, wb), coef,
-                div, x1, qshr)
+            fb = planar.low_quality_fblocks(
+                planar.blocks_halo10(pix, hb, wb), rng)
+            coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
     else:
         borders = planar.borders_from_blocks(pix, hb, wb)
         do_reb = not (flags & NO_REBALANCE
@@ -141,7 +135,13 @@ def _component_smooth_body(coef16, qraw, div, x1, qshr, image2, *, hb, wb,
     coef = _int16_wrap(prod)
     coef_dq = coef
 
-    img2 = image2 if (use_image2 and (flags & JOINT_YUV)) else None
+    img2 = None
+    if use_image2 and (flags & JOINT_YUV):
+        # image2 halos computed once per component (it is constant
+        # across iterations); accepted either as a padded plane or
+        # already in [10, 10, B] halo form
+        img2 = (image2 if use_image2 == "halo"
+                else planar.padded_plane_to_halo10(image2, hb, wb))
 
     pix = None
     for it in range(niter + extra_refresh):
@@ -151,8 +151,12 @@ def _component_smooth_body(coef16, qraw, div, x1, qshr, image2, *, hb, wb,
         coef = _block_pass_p(coef, pix, img2, div, x1, qshr, flags,
                              tables, luma, hb, wb)
 
-    padded = (planar.pix_to_plane(pix, hb, wb) if want_plane
-              else jnp.zeros((1, 1), dtype=I32))
+    if want_plane == "pix":
+        padded = pix                     # block form, no plane transpose
+    elif want_plane:
+        padded = planar.pix_to_plane(pix, hb, wb)
+    else:
+        padded = jnp.zeros((1, 1), dtype=I32)
 
     # Crafted-file fallback: keep the plain dequantized coefficients
     # (quantsmooth.h:2596-2610 sets stop before the block passes run).
@@ -226,6 +230,7 @@ def _image_smooth_impl(inputs, fence, *, cfg):
         outs = []
         badvs = []
         ups = {}
+        img2_mode = "halo" if cfg.ds_blocks else "plane"
         for ci, cc in enumerate(cfg.comps):
             coef16, qraw, div, x1, qshr = inputs[ci]
             dq16 = _int16_wrap(coef16.astype(I32)
@@ -239,25 +244,51 @@ def _image_smooth_impl(inputs, fence, *, cfg):
                 coef16, qraw, div, x1, qshr, img2_arg,
                 hb=cc.hb, wb=cc.wb, flags=flags, niter=cc.niter2,
                 extra_refresh=cc.extra_refresh, luma=cc.luma,
-                use_image2=image2 is not None, want_plane=cc.want_plane)
+                use_image2=(img2_mode if image2 is not None else False),
+                want_plane=cc.want_plane)
             out16 = jnp.where(stop, dq16, coef.astype(jnp.int16))
             outs.append(out16)
             badvs.append(badv)
             stop = stop | badv
             if image1 is not None:
-                ups[str(ci)] = _upsample_fdct_body(
-                    padded, image2, image1, img_w=cfg.img_w,
-                    img_h=cfg.img_h, ws=cfg.ws, hs=cfg.hs,
-                    hb_l=cfg.comps[0].hb, wb_l=cfg.comps[0].wb)
+                hbl, wbl = cfg.comps[0].hb, cfg.comps[0].wb
+                hbc, wbc = cfg.comps[1].hb, cfg.comps[1].wb
+                if cfg.ds_blocks:
+                    # fully block-wise upsample: padded is the chroma
+                    # pix blocks, image1 the luma pix blocks, image2
+                    # the downsampled-luma halos
+                    up = planar.upsample_chroma_blocks(
+                        planar.blocks_halo10(padded, hbc, wbc), image2,
+                        image1, cfg.img_w, cfg.img_h, cfg.ws, cfg.hs,
+                        hbl, wbl, hbc, wbc)
+                    fb = (up - CENTERJSAMPLE).astype(F)
+                    uc = c_f32_to_i32(roundf(
+                        planar.fdct_float_p(fb).reshape(64, hbl * wbl)))
+                    ups[str(ci)] = uc.T.astype(jnp.int16).reshape(
+                        hbl, wbl, 64)
+                else:
+                    ups[str(ci)] = _upsample_fdct_body(
+                        padded, image2, image1, img_w=cfg.img_w,
+                        img_h=cfg.img_h, ws=cfg.ws, hs=cfg.hs,
+                        hb_l=hbl, wb_l=wbl)
             elif ci == 0 and cfg.need_downsample:
-                if cfg.ws == 1 and cfg.hs == 1:
+                hbl, wbl = cfg.comps[0].hb, cfg.comps[0].wb
+                hbc, wbc = cfg.comps[1].hb, cfg.comps[1].wb
+                if cfg.ds_blocks:
+                    # block-wise: no full-resolution plane transpose
+                    if (flags & UPSAMPLE_UV) and not (cfg.ws == 1
+                                                      and cfg.hs == 1):
+                        image1 = padded          # luma pix blocks
+                    ds = planar.downsample_blocks(
+                        padded, hbl, wbl, hbc, wbc, cfg.ws, cfg.hs)
+                    image2 = planar.blocks_halo10(ds, hbc, wbc)
+                elif cfg.ws == 1 and cfg.hs == 1:
                     image2 = padded
                 else:
                     if flags & UPSAMPLE_UV:
                         image1 = padded
                     image2 = downsample_plane(
-                        padded, cfg.comps[0].hb, cfg.comps[0].wb,
-                        cfg.comps[1].hb, cfg.comps[1].wb, cfg.ws, cfg.hs)
+                        padded, hbl, wbl, hbc, wbc, cfg.ws, cfg.hs)
         return tuple(outs), tuple(badvs), ups
 
 
@@ -281,7 +312,7 @@ class _CompCfg:
 
 class _ImageCfg:
     __slots__ = ("flags", "need_downsample", "img_w", "img_h", "ws", "hs",
-                 "comps")
+                 "comps", "ds_blocks")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -289,7 +320,7 @@ class _ImageCfg:
 
     def _key(self):
         return (self.flags, self.need_downsample, self.img_w, self.img_h,
-                self.ws, self.hs, self.comps)
+                self.ws, self.hs, self.comps, self.ds_blocks)
 
     def __hash__(self):
         return hash(self._key())
@@ -365,8 +396,15 @@ def prepare_fused(img, opts: QsOptions):
             continue
         mode = "dequant" if static_stop else "smooth"
         luma = (ci == 0) or not img.is_ycbcr
-        want_plane = (mode == "smooth"
-                      and (image1_live or (ci == 0 and need_downsample)))
+        # pixel output in block ('pix') form when the color paths can
+        # run block-wise (sampling factors <= 2; always true for
+        # 4:4:4/4:2:2/4:2:0); plane form only for exotic factors
+        ds_block_ok = ws <= 2 and hs <= 2
+        if mode == "smooth" and (image1_live
+                                 or (ci == 0 and need_downsample)):
+            want_plane = "pix" if ds_block_ok else True
+        else:
+            want_plane = False
         comp_cfgs.append(_CompCfg(hb=hb, wb=wb, niter2=num_iter2,
                                   extra_refresh=extra_refresh, luma=luma,
                                   mode=mode, want_plane=want_plane))
@@ -382,9 +420,10 @@ def prepare_fused(img, opts: QsOptions):
                 image1_live = True
             downsample_live = True
 
+    ds_blocks = downsample_live and ws <= 2 and hs <= 2
     cfg = _ImageCfg(flags=flags, need_downsample=downsample_live,
                     img_w=img.width, img_h=img.height, ws=ws, hs=hs,
-                    comps=tuple(comp_cfgs))
+                    comps=tuple(comp_cfgs), ds_blocks=ds_blocks)
     meta = {"static_stop": static_stop, "prog_index": prog_index,
             "image1_live": image1_live}
     return tuple(prog_inputs), cfg, meta

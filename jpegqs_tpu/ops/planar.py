@@ -219,6 +219,257 @@ def rebalance_blocks_p(coef, div, x1, qshr):
 
 
 # ---------------------------------------------------------------------------
+# 10x10 block halos: the 3x3 cross-block paths without plane transposes
+# ---------------------------------------------------------------------------
+
+def blocks_halo10(pix, hb, wb):
+    """int32[8, 8, B] blocks -> int32[10, 10, B]: each block with its
+    1-pixel neighborhood (image-edge replicated), gathered from
+    neighboring blocks — the reference's padded-plane reads
+    (quantsmooth.h:2612-2620) without ever materializing the plane.
+
+    Corners come for free: the vertical halo is attached first, so the
+    horizontal gather of a neighbor's column 7 includes that neighbor's
+    own vertical halo rows (= the diagonal blocks' corner pixels).
+    """
+    p4 = pix.reshape(8, 8, hb, wb)
+    up = jnp.concatenate([p4[0:1, :, :1, :], p4[7:8, :, :-1, :]], axis=2)
+    dn = jnp.concatenate([p4[0:1, :, 1:, :], p4[7:8, :, -1:, :]], axis=2)
+    mid = jnp.concatenate([up, p4, dn], axis=0)            # [10, 8, hb, wb]
+    left = jnp.concatenate([mid[:, 0:1, :, :1], mid[:, 7:8, :, :-1]],
+                           axis=3)
+    right = jnp.concatenate([mid[:, 0:1, :, 1:], mid[:, 7:8, :, -1:]],
+                            axis=3)
+    return jnp.concatenate([left, mid, right], axis=1).reshape(
+        10, 10, hb * wb)
+
+
+_W3 = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+
+
+def conv3x3_b(halo, weights=_W3):
+    """Weighted 3x3 sums over a [10, 10, B] halo -> int32[8, 8, B]
+    (exact integer math, order-free)."""
+    out = jnp.zeros((8, 8) + halo.shape[2:], dtype=I32)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + weights[dy][dx] * halo[dy:dy + 8, dx:dx + 8]
+    return out
+
+
+def conv3x3_prod_b(ha, hb_, weights=_W3):
+    out = jnp.zeros((8, 8) + ha.shape[2:], dtype=I32)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + weights[dy][dx] * (ha[dy:dy + 8, dx:dx + 8]
+                                           * hb_[dy:dy + 8, dx:dx + 8])
+    return out
+
+
+def _conv3x3_f(halo, weights=_W3):
+    """Weighted 3x3 sums in f32 — exact: inputs are pixels (<= 255), so
+    every product/sum stays far below 2^24."""
+    out = jnp.zeros((8, 8) + halo.shape[2:], dtype=F)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + F(weights[dy][dx]) * halo[dy:dy + 8, dx:dx + 8]
+    return out
+
+
+def _conv3x3_prod_f(ha, hb_, weights=_W3):
+    out = jnp.zeros((8, 8) + ha.shape[2:], dtype=F)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + F(weights[dy][dx]) * (ha[dy:dy + 8, dx:dx + 8]
+                                              * hb_[dy:dy + 8, dx:dx + 8])
+    return out
+
+
+def joint_yuv_fblocks(chroma_halo, luma2_halo):
+    """JOINT_YUV predicted chroma, planar: f32[8, 8, B] ready for
+    fdct_clamp_p (reference: quantsmooth.h:893-920; same fp32 op
+    sequence as ops/joint.joint_yuv_fplane).
+
+    The regression statistics are integers bounded by 16*255^2*16 <
+    2^24, so they are computed EXACTLY in f32 (TPU's VPU emulates
+    int32 multiplies; f32 multiplies are native and ~10x faster).
+    """
+    from . import fp32
+
+    a = luma2_halo.astype(F)
+    b = chroma_halo.astype(F)
+    sumA = _conv3x3_f(a)
+    sumB = _conv3x3_f(b)
+    sAA = _conv3x3_prod_f(a, a) * 16 - sumA * sumA     # exact ints in f32
+    sAB = _conv3x3_prod_f(a, b) * 16 - sumA * sumB
+    scale = jnp.where(sAA != 0, fp32.fdiv(sAB, sAA), F(0))
+    scale = jnp.minimum(jnp.maximum(scale, F(-16.0)), F(16.0))
+    center2 = a[1:9, 1:9]
+    av = fp32.fmul(fp32.fadd(fp32.fmul(center2 * 16 - sumA, scale),
+                             sumB), F(1.0 / 16))
+    av = fp32.fsub(jnp.maximum(av, F(0)), F(128))
+    return jnp.minimum(av, F(128))
+
+
+# 8-neighbor order of the LQ shrink (quantsmooth.h:1164-1171)
+_LQ_NEIGHBORS = ((-1, -1, 1), (0, -1, 0), (1, -1, 1),
+                 (-1, 0, 0), (1, 0, 0),
+                 (-1, 1, 1), (0, 1, 0), (1, 1, 1))
+
+
+def low_quality_fblocks(halo, rng_blocks):
+    """LOW_QUALITY 3x3 weighted gradient shrink, planar
+    (reference: quantsmooth.h:1161-1175; same fp32 op sequence as
+    ops/lowq.low_quality_fplane).
+
+    halo int32[10, 10, B]; rng_blocks f32[B] (per-block range).
+    Returns centered f32[8, 8, B] for fdct_clamp_p.
+    """
+    from . import fp32
+
+    p = halo.astype(I32)
+    c0 = np.float32(2.0)
+    c1 = np.float32(c0 * np.sqrt(np.float32(0.5)))
+    cw = (F(c0), F(c1))
+    a = p[1:9, 1:9]
+    rmap = rng_blocks[None, None, :]
+    acc0 = jnp.zeros(a.shape, dtype=F)
+    accn = jnp.zeros(a.shape, dtype=F)
+    for dx, dy, wi in _LQ_NEIGHBORS:
+        nb = p[1 + dy:9 + dy, 1 + dx:9 + dx]
+        t0 = (a - nb).astype(F)
+        t = jnp.maximum(rmap - jnp.abs(t0), F(0))  # integral: exact
+        t = t * t                                  # < 2^24: exact
+        aw = fp32.fmul(cw[wi], t)
+        acc0 = fp32.fadd(acc0, fp32.fmul(t0 * t, aw))
+        accn = fp32.fadd(accn, fp32.fmul(aw, aw))
+    corr = fp32.fdiv(acc0, accn)
+    shifted = fp32.fsub(a.astype(F), corr)
+    newa = jnp.where(accn > F(0), c_f32_to_i32(shifted), a)
+    return (newa - 128).astype(F)
+
+
+def downsample_blocks(pix_l, hb_l, wb_l, hb_c, wb_c, ws, hs):
+    """Box-downsample luma blocks directly to chroma-sized blocks
+    (reference: quantsmooth.h:2753-2813, fast even-box path) — no
+    full-resolution plane is ever materialized.
+
+    pix_l int32[8, 8, hb_l*wb_l] -> int32[8, 8, hb_c*wb_c].
+    Supports ws, hs in {1, 2} (the reference's replicate tail
+    out[h1+1:] = out[h1] etc. is equivalent to edge-extending the
+    computed [h1, w1] region, reproduced here at block granularity).
+    """
+    assert ws in (1, 2) and hs in (1, 2)
+    if ws == 1 and hs == 1:
+        return pix_l
+    p4 = pix_l.reshape(8, 8, hb_l, wb_l)
+    rh, rw = 8 // hs, 8 // ws
+    # per-luma-block box sums -> [rh, rw, hb_l, wb_l]
+    if hs == 2 and ws == 2:
+        a = (p4[0::2, 0::2] + p4[0::2, 1::2]
+             + p4[1::2, 0::2] + p4[1::2, 1::2])
+        d = (a + 2) >> 2
+    elif hs == 2:
+        d = ((p4[0::2] + p4[1::2]) + 1) >> 1
+    else:
+        d = ((p4[:, 0::2] + p4[:, 1::2]) + 1) >> 1
+    # pad odd block-grid edges by replicating the last computed ds line
+    if hs == 2 and hb_l % 2:
+        d = jnp.concatenate(
+            [d, jnp.repeat(d[rh - 1:rh, :, -1:, :], rh, axis=0)], axis=2)
+    if ws == 2 and wb_l % 2:
+        d = jnp.concatenate(
+            [d, jnp.repeat(d[:, rw - 1:rw, :, -1:], rw, axis=1)], axis=3)
+    # assemble chroma blocks from (hs x ws) luma-block quadrants
+    t = d.reshape(rh, rw, hb_c, hs, wb_c, ws)
+    return t.transpose(3, 0, 5, 1, 2, 4).reshape(8, 8, hb_c * wb_c)
+
+
+def _lowres_to_hires_blocks(x, hb_l, wb_l, hb_c, wb_c, ws, hs):
+    """Broadcast a chroma-grid quantity [8, 8, Bc] to the luma grid
+    [8, 8, Bl]: full-res pixel (y, x) reads low-res (y//hs, x//ws)."""
+    rh, rw = 8 // hs, 8 // ws
+    t = x.reshape(hs, rh, ws, rw, hb_c, wb_c)
+    t = t.transpose(1, 3, 4, 0, 5, 2).reshape(rh, rw, hb_c * hs, wb_c * ws)
+    t = t[:, :, :hb_l, :wb_l]
+    t = jnp.repeat(jnp.repeat(t, hs, axis=0), ws, axis=1)
+    return t.reshape(8, 8, hb_l * wb_l)
+
+
+def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
+                           img_w, img_h, ws, hs, hb_l, wb_l, hb_c, wb_c):
+    """UPSAMPLE_UV fully in block form (reference:
+    quantsmooth.h:1851-2394, 2691-2752) — no full-resolution planes.
+
+    chroma_halo / luma2_halo: int32[10, 10, Bc] (component plane and
+    downsampled luma); luma_pix int32[8, 8, Bl].  ws, hs in {1, 2}.
+    Returns the full-res chroma pixels int32[8, 8, Bl].
+
+    Identical values to ops/upsample.upsample_chroma: the regression
+    statistics are < 2^24 so f32 is exact; the plane version's
+    out-of-image lum=0 region is entirely cropped from the output, and
+    the replicate tails (right edge for the first min(8,h1)*hs rows —
+    the reference quirk — then bottom rows) become block-row masks.
+    """
+    from . import fp32
+
+    w1 = (img_w + ws - 1) // ws
+    h1 = (img_h + hs - 1) // hs
+
+    # regression slope per low-res pixel (same math as JOINT)
+    a = luma2_halo.astype(F)
+    b = chroma_halo.astype(F)
+    sumA = _conv3x3_f(a)
+    sumB = _conv3x3_f(b)
+    sAA = _conv3x3_prod_f(a, a) * 16 - sumA * sumA
+    sAB = _conv3x3_prod_f(a, b) * 16 - sumA * sumB
+    scale = jnp.where(sAA != 0, fp32.fdiv(sAB, sAA), F(0))
+    scale = jnp.minimum(jnp.maximum(scale, F(-16.0)), F(16.0))
+    # offset = chroma - luma_ds*scale + 0.5 (quantsmooth.h:2367)
+    imc = b[1:9, 1:9]
+    iml = a[1:9, 1:9]
+    offset = fp32.fadd(fp32.fsub(imc, fp32.fmul(iml, scale)), F(0.5))
+
+    scale_hi = _lowres_to_hires_blocks(scale, hb_l, wb_l, hb_c, wb_c,
+                                       ws, hs)
+    offset_hi = _lowres_to_hires_blocks(offset, hb_l, wb_l, hb_c, wb_c,
+                                        ws, hs)
+    lum = luma_pix.astype(F)
+    val = fp32.fadd(fp32.fmul(lum, scale_hi), offset_hi)
+    out = jnp.clip(jnp.trunc(val), 0, 255).astype(I32)
+
+    o4 = out.reshape(8, 8, hb_l, wb_l)
+    hh, ww = hb_l * 8, wb_l * 8
+    row_g = (jax.lax.broadcasted_iota(I32, (8, 1, hb_l, 1), 0)
+             + 8 * jax.lax.broadcasted_iota(I32, (8, 1, hb_l, 1), 2))
+    col_g = (jax.lax.broadcasted_iota(I32, (1, 8, 1, wb_l), 1)
+             + 8 * jax.lax.broadcasted_iota(I32, (1, 8, 1, wb_l), 3))
+    # right-edge replicate from col w1*ws-1, first min(8,h1)*hs rows
+    # only (reference quirk, quantsmooth.h:1861 + 2390-2393)
+    if w1 * ws < ww:
+        rep_rows = min(min(8, h1) * hs, min(h1 * hs, hh))
+        sc = w1 * ws - 1
+        src_col = o4[:, sc % 8, :, sc // 8]            # [8, hb_l]
+        mask = (row_g < rep_rows) & (col_g >= w1 * ws)
+        o4 = jnp.where(mask, src_col[:, None, :, None], o4)
+    # bottom replicate from row h1*hs-1 (quantsmooth.h:2729-2730)
+    if h1 * hs < hh:
+        sr = h1 * hs - 1
+        src_row = o4[sr % 8, :, sr // 8, :]            # [8, wb_l]
+        mask = row_g >= h1 * hs
+        o4 = jnp.where(mask, src_row[None, :, None, :], o4)
+    return o4.reshape(8, 8, hb_l * wb_l)
+
+
+def padded_plane_to_halo10(padded, hb, wb):
+    """Padded (+1px) plane -> [10, 10, B] halos (for image2, computed
+    once per component)."""
+    interior = padded[1:hb * 8 + 1, 1:wb * 8 + 1]
+    return blocks_halo10(plane_to_fblocks_p(interior, hb, wb).astype(I32),
+                         hb, wb)
+
+
+# ---------------------------------------------------------------------------
 # LOW_QUALITY range estimate, planar
 # ---------------------------------------------------------------------------
 

@@ -190,3 +190,26 @@ def test_fdct_float_vs_spec():
     want = specref.fdct_float(fb)
     got = np.asarray(fdct_float(jnp.asarray(fb)))
     assert np.array_equal(got, want)
+
+
+def test_downsample_blocks_matches_plane():
+    """Block-wise downsample == plane downsample (interior + halos)."""
+    import jax.numpy as jnp
+    from jpegqs_tpu.ops import planar
+    from jpegqs_tpu.ops.plane import downsample_plane
+
+    rng = np.random.default_rng(6)
+    for hb_l, wb_l, ws, hs in ((6, 8, 2, 2), (7, 9, 2, 2), (5, 7, 2, 1),
+                               (6, 5, 1, 2), (4, 4, 1, 1)):
+        hb_c = -(-hb_l // hs)
+        wb_c = -(-wb_l // ws)
+        pix = rng.integers(0, 256, (8, 8, hb_l * wb_l)).astype(np.int32)
+        plane = np.asarray(planar.pix_to_plane(jnp.asarray(pix), hb_l, wb_l))
+        want_padded = np.asarray(downsample_plane(
+            jnp.asarray(plane), hb_l, wb_l, hb_c, wb_c, ws, hs))
+        want_halo = np.asarray(planar.padded_plane_to_halo10(
+            jnp.asarray(want_padded), hb_c, wb_c))
+        ds = planar.downsample_blocks(jnp.asarray(pix), hb_l, wb_l,
+                                      hb_c, wb_c, ws, hs)
+        got_halo = np.asarray(planar.blocks_halo10(ds, hb_c, wb_c))
+        assert np.array_equal(got_halo, want_halo), (hb_l, wb_l, ws, hs)
