@@ -291,7 +291,7 @@ static void qs_simple_error_exit(j_common_ptr cinfo) {
 }
 
 /* Encode interleaved pixels (ncomp 1=gray, 3=RGB) to JPEG.
- * subsamp: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2. */
+ * subsamp: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2, 3 = 4:4:0. */
 QS_EXPORT int qs_encode(const uint8_t *pixels, int w, int hgt, int ncomp,
                         int quality, int subsamp, int progressive,
                         uint8_t **out, size_t *out_size) {
@@ -320,6 +320,9 @@ QS_EXPORT int qs_encode(const uint8_t *pixels, int w, int hgt, int ncomp,
         } else if (subsamp == 2) {
             cinfo.comp_info[0].h_samp_factor = 2;
             cinfo.comp_info[0].v_samp_factor = 1;
+        } else if (subsamp == 3) {
+            cinfo.comp_info[0].h_samp_factor = 1;
+            cinfo.comp_info[0].v_samp_factor = 2;
         } /* default (1) is 2x2 = 4:2:0 */
     }
     if (progressive) jpeg_simple_progression(&cinfo);

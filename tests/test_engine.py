@@ -213,3 +213,11 @@ def test_downsample_blocks_matches_plane():
                                       hb_c, wb_c, ws, hs)
         got_halo = np.asarray(planar.blocks_halo10(ds, hb_c, wb_c))
         assert np.array_equal(got_halo, want_halo), (hb_l, wb_l, ws, hs)
+
+
+@pytest.mark.parametrize("quality", [5, 6])
+def test_color_440_sampling(quality):
+    """4:4:0 (1x2 sampling) exercises the vertical-only downsample."""
+    assert_matches_reference(
+        make_jpeg(56, 48, "photo", seed=17, color=True, quality=75,
+                  subsamp=3), quality, 3)
