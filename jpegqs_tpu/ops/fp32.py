@@ -104,4 +104,110 @@ def fmul(a, b):
 def fdiv(a, b):
     if exact_mode():
         return _fence(jnp.asarray(a, F) / jnp.asarray(b, F))
+    if jax.default_backend() == "tpu":
+        # TPU f32 division is reciprocal-based and up to 2 ulp off
+        # IEEE round-to-nearest; the C scalar build's x86 divss is
+        # correctly rounded, so fix it up.
+        return exact_divide(jnp.asarray(a, F), jnp.asarray(b, F),
+                            _fence if _TOKEN is not None else None)
     return a / b
+
+
+# ---------------------------------------------------------------------------
+# Correctly-rounded f32 division for backends with approximate dividers
+# ---------------------------------------------------------------------------
+
+def _two_product(x, y, f):
+    """Dekker: exact x*y = p + e in f32 (requires unfused mul/add)."""
+    C = F(4097.0)  # 2^12 + 1 (Veltkamp split for 24-bit mantissa)
+    gx = f(x * C)
+    xh = f(gx - f(gx - x))
+    xl = f(x - xh)
+    gy = f(y * C)
+    yh = f(gy - f(gy - y))
+    yl = f(y - yh)
+    p = f(x * y)
+    # canonical Dekker order — each partial sum is exactly representable
+    e = f(f(f(f(f(xh * yh) - p) + f(xh * yl)) + f(xl * yh)) + f(xl * yl))
+    return p, e
+
+
+def _two_sum(x, y, f):
+    """Knuth TwoSum: x + y = s + err exactly."""
+    s = f(x + y)
+    bb = f(s - x)
+    err = f(f(x - f(s - bb)) + f(y - bb))
+    return s, err
+
+
+def _residual_raw(a, b, q, f):
+    """a - q*b as an exact (but unnormalized) float pair (s, -e):
+    Dekker product + a Sterbenz-exact subtraction."""
+    p, e = _two_product(q, b, f)
+    s = f(a - p)           # exact: p within a factor 2 of a
+    return s, f(-e)
+
+
+def _exact_sign4(x0, x1, x2, x3, f):
+    """Exact sign of x0+x1+x2+x3 (a sum of two non-overlapping pairs):
+    distill with VecSum sweeps until the leading term dominates."""
+    for _ in range(3):
+        x0, x1 = _two_sum(x0, x1, f)
+        x1, x2 = _two_sum(x1, x2, f)
+        x2, x3 = _two_sum(x2, x3, f)
+    # after distillation (x3 >= ... >= x0 in magnitude ordering of the
+    # expansion; leading term is x3's slot after sweeps toward the end)
+    lead = jnp.where(x3 != 0, x3,
+                     jnp.where(x2 != 0, x2,
+                               jnp.where(x1 != 0, x1, x0)))
+    return jnp.sign(lead)
+
+
+def exact_divide(a, b, fence=None):
+    """IEEE round-to-nearest-even f32 division built on an approximate
+    (<= 2 ulp) hardware divide.
+
+    One residual correction step brings q within half an ulp; the
+    final rounding decision against the neighbouring float is made by
+    the exact sign of r(q) + r(n) = 2*(a - midpoint*b), computed from
+    exact residual pairs — this resolves arbitrarily near ties, with
+    true ties broken to the even mantissa.  NaN/inf/0/extreme cases
+    fall back to the hardware result (0/0 -> NaN, x/0 -> inf, exactly
+    the C semantics the engine relies on).
+    """
+    f = fence if fence is not None else (lambda x: x)
+    q0 = a / b
+    safe = (jnp.isfinite(q0) & (q0 != 0)
+            & (jnp.abs(a) < F(1e30)) & (jnp.abs(a) > F(1e-30))
+            & (jnp.abs(b) < F(1e30)) & (jnp.abs(b) > F(1e-30)))
+    a_s = jnp.where(safe, a, F(1))
+    b_s = jnp.where(safe, b, F(1))
+    q0_s = jnp.where(safe, q0, F(1))
+
+    s0, e0 = _residual_raw(a_s, b_s, q0_s, f)
+    q = f(q0_s + f(f(s0 + e0) / b_s))       # now within ~0.5 ulp
+
+    s, e = _residual_raw(a_s, b_s, q, f)
+    rr = f(s + e)                            # sign-accurate residual
+    r_sign = jnp.sign(rr)
+    # neighbour toward the true quotient: value-up iff r and b share
+    # sign; a bit-increment is value-up only for positive floats
+    value_up = (r_sign * jnp.sign(b_s)) > 0
+    bit_step = jnp.where(value_up != (q < 0), 1, -1)
+    bits = jax.lax.bitcast_convert_type(q, jnp.int32)
+    n = jax.lax.bitcast_convert_type(bits + bit_step, F)
+    sn, en = _residual_raw(a_s, b_s, n, f)
+    nrr = f(sn + en)
+    # Decide via the midpoint: D = |r| - |r_n| = r_sign*(r + r_n),
+    # with the sum's sign computed exactly from the raw pairs.  If the
+    # neighbour's residual keeps r's sign, n is strictly closer.
+    s4 = _exact_sign4(s, e, sn, en, f)
+    d_sign = r_sign * s4
+    n_even = (jax.lax.bitcast_convert_type(n, jnp.int32) & 1) == 0
+    take_n = ((jnp.sign(nrr) == r_sign) & (nrr != 0)
+              | (d_sign > 0)
+              | ((d_sign == 0) & n_even))
+    exact_now = s == f(-e)
+    q = jnp.where(exact_now, q, jnp.where(take_n, n, q))
+
+    return jnp.where(safe, q, q0)

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..specref import NATURAL_ORDER, ZIGZAG_REFRESH, make_solver_tables
 from ..options import DIAGONALS
+from . import fp32
 
 F = jnp.float32
 I32 = jnp.int32
@@ -216,7 +217,9 @@ def _solve_kernel(nt, ntp, do_rebalance, fenced,
 
         zero = jnp.zeros((8, 128), F)
         a2, a3 = jax.lax.fori_loop(0, ntp // 8, chunk, (zero, zero))
-        delta = _c_f32_to_i32(_roundf(fence(a2 / a3), fence))
+        # TPU's divider is ~2 ulp; the reference's divss is IEEE-exact
+        q = fp32.exact_divide(a2, a3, fence if fenced else None)
+        delta = _c_f32_to_i32(_roundf(fence(q), fence))
         coef1 = out_ref[pl.ds(i, 1)][0]
         div_i = div_ref[i]
         a0 = _orig_coef(coef1, div_i, x1_ref[i], qshr_ref[i])
