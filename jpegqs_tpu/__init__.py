@@ -24,6 +24,7 @@ __all__ = [
     "UPSAMPLE_UV", "LOW_QUALITY", "NO_REBALANCE", "NO_REBALANCE_UV",
     "TRANSCODE", "ITER_MAX", "smooth", "smooth_jpeg_bytes",
     "decode_smoothed", "smooth_many", "smooth_plane_batch",
+    "smooth_image_batch",
 ]
 
 
@@ -50,3 +51,8 @@ def smooth_many(datas, opts=None, workers=4, optimize=False):
 def smooth_plane_batch(coefs, qtbl, flags, niter, luma=True):
     from . import batch
     return batch.smooth_plane_batch(coefs, qtbl, flags, niter, luma)
+
+
+def smooth_image_batch(imgs, opts=None):
+    from . import batch
+    return batch.smooth_image_batch(imgs, opts)

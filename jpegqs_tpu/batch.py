@@ -1,20 +1,24 @@
 """Batch engine: many-image throughput (SURVEY.md §7 step 6).
 
-Two mechanisms, composable:
+Three mechanisms, composable:
 
 - ``smooth_many``: a threaded host pipeline over whole JPEGs.  Entropy
   decode/encode (C, GIL-released) and device transfers of image i+-1
   overlap image i's device compute.  Works for any mix of inputs.
 
-- ``smooth_plane_batch``: true device batching for same-shape planes
-  sharing a quant table (the common "one corpus, one encoder setting"
-  case): N coefficient planes are flattened into one mega block batch
-  for the per-block stages (IDCT, solver/rebalance — including the
-  Pallas kernel, which just sees more tiles) while the per-image halo
-  structure is preserved by computing borders per image.
+- ``smooth_plane_batch``: device batching for N same-shape gray planes
+  sharing a quant table: one program over N*B blocks.
 
-The reference's only batching is "run the CLI N times" — this is the
-TPU-native replacement: one program, N*B blocks, one dispatch.
+- ``smooth_image_batch``: device batching for N same-config images
+  (any quality level, including JOINT_YUV and UPSAMPLE_UV): the whole
+  color pipeline over all images in ONE device program.  Per-block
+  stages (IDCT, Pallas solver, rebalance, clamps) see one flattened
+  N*B block axis; the per-image structure (borders, halos, downsample,
+  upsample, crafted-file stops) is preserved with vmaps over the image
+  axis.
+
+The reference's only batching is "run the CLI N times" — these are the
+TPU-native replacement.
 """
 
 from __future__ import annotations
@@ -26,10 +30,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .options import QsOptions, NO_REBALANCE, NO_REBALANCE_UV, LOW_QUALITY
+from .options import (QsOptions, NO_REBALANCE, NO_REBALANCE_UV,
+                      LOW_QUALITY, JOINT_YUV, UPSAMPLE_UV, ITER_MAX)
 from .specref import make_solver_tables
 from .ops import planar, fp32, pallas_solver
-from .ops.quant import make_quant_tables
+from .ops.quant import make_quant_tables, roundf, c_f32_to_i32
 
 F = jnp.float32
 I32 = jnp.int32
@@ -53,22 +58,18 @@ def smooth_many(datas, opts: QsOptions = None, workers: int = 4,
             lambda d: smooth_jpeg_bytes(d, opts, optimize), datas))
 
 
-@partial(jax.jit, static_argnames=("n", "hb", "wb", "flags", "niter",
-                                   "luma"))
-def _plane_batch_impl(coef16, qraw, div, x1, qshr, fence, *, n, hb, wb,
-                      flags, niter, luma):
-    with fp32.fence_token(fence):
-        return _plane_batch_body(coef16, qraw, div, x1, qshr, n=n, hb=hb,
-                                 wb=wb, flags=flags, niter=niter, luma=luma)
+# ---------------------------------------------------------------------------
+# Batched component pass (N same-shape planes, one flattened block axis)
+# ---------------------------------------------------------------------------
 
+def _batch_component(coef16, qraw, div, x1, qshr, img2_halos, *, n, hb, wb,
+                     flags, niter, extra_refresh, luma, want_pix):
+    """N same-shape planes through the full component pass.
 
-def _plane_batch_body(coef16, qraw, div, x1, qshr, *, n, hb, wb, flags,
-                      niter, luma):
-    """N same-shape planes, one device program.
-
-    coef16 int16[N, hb*wb, 64] -> (int32[N, hb*wb, 64], badv bool[N]).
-    Same math as engine._component_smooth_body, with the block axes of
-    all images fused for the per-block stages.
+    coef16 int16[N, B, 64]; img2_halos int32[10, 10, N*B] or None.
+    Returns (coef int32[N, B, 64] clamped, badv bool[N],
+    pix int32[8, 8, N, B] final pixels or None).
+    Mirrors engine._component_smooth_body per image.
     """
     B = hb * wb
     NB = n * B
@@ -84,40 +85,61 @@ def _plane_batch_body(coef16, qraw, div, x1, qshr, *, n, hb, wb, flags,
 
     do_reb = not (flags & NO_REBALANCE
                   or (not luma and (flags & NO_REBALANCE_UV)))
+    use_img2 = img2_halos is not None and (flags & JOINT_YUV)
 
-    for _ in range(niter):
+    pix_n = None
+    for it in range(niter + extra_refresh):
         pix = planar.idct_islow_p(coef.reshape(8, 8, NB))
-        # borders per image (edge replication must not cross images)
         pix_n = pix.reshape(8, 8, n, B)
-        bt, bb, bl, br = jax.vmap(
-            lambda p: planar.borders_from_blocks(p, hb, wb),
-            in_axes=2, out_axes=1)(pix_n)
-        borders = tuple(b.reshape(8, NB) for b in (bt, bb, bl, br))
-        if flags & LOW_QUALITY:
-            rng = planar.low_quality_range_p(coef, div)   # [NB]
+        if it == niter:
+            break
+        if use_img2:
             halos = jax.vmap(lambda p: planar.blocks_halo10(p, hb, wb),
-                             in_axes=2, out_axes=2)(pix_n)  # [10,10,N,B]
-            fb = planar.low_quality_fblocks(
-                halos.reshape(10, 10, NB), rng)
+                             in_axes=2, out_axes=2)(pix_n)
+            fb = planar.joint_yuv_fblocks(halos.reshape(10, 10, NB),
+                                          img2_halos)
             coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
+        if flags & LOW_QUALITY:
+            if not use_img2:
+                rng = planar.low_quality_range_p(coef, div)
+                halos = jax.vmap(lambda p: planar.blocks_halo10(p, hb, wb),
+                                 in_axes=2, out_axes=2)(pix_n)
+                fb = planar.low_quality_fblocks(
+                    halos.reshape(10, 10, NB), rng)
+                coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
             if do_reb:
                 coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
-        elif pallas_solver.use_pallas():
-            coef = pallas_solver.solve_rebalance(
-                coef, borders, div, x1, qshr, flags, do_reb,
-                fence=fp32.fence_value())
         else:
-            coef = planar.solve_blocks_p(coef, borders, div, x1, qshr,
-                                         tables, hb, wb * n)
-            if do_reb:
-                coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
+            bt, bb, bl, br = jax.vmap(
+                lambda p: planar.borders_from_blocks(p, hb, wb),
+                in_axes=2, out_axes=1)(pix_n)
+            borders = tuple(b.reshape(8, NB) for b in (bt, bb, bl, br))
+            if pallas_solver.use_pallas():
+                coef = pallas_solver.solve_rebalance(
+                    coef, borders, div, x1, qshr, flags, do_reb,
+                    fence=fp32.fence_value())
+            else:
+                coef = planar.solve_blocks_p(coef, borders, div, x1, qshr,
+                                             tables, hb, wb * n)
+                if do_reb:
+                    coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
 
-    coef = jnp.where(badv[None, :, None],
-                     coef_dq.reshape(64, n, B),
-                     coef.reshape(64, n, B))
-    coef = jnp.clip(coef, -1023, 1023)
-    return (coef.transpose(1, 2, 0),
-            badv)
+    out = jnp.where(badv[None, :, None],
+                    coef_dq.reshape(64, n, B), coef.reshape(64, n, B))
+    out = jnp.clip(out, -1023, 1023).transpose(1, 2, 0)   # [N, B, 64]
+    return out, badv, (pix_n if want_pix else None)
+
+
+@partial(jax.jit, static_argnames=("n", "hb", "wb", "flags", "niter",
+                                   "luma"))
+def _plane_batch_impl(coef16, qraw, div, x1, qshr, fence, *, n, hb, wb,
+                      flags, niter, luma):
+    with fp32.fence_token(fence):
+        out, badv, _ = _batch_component(
+            coef16, qraw, div, x1, qshr, None, n=n, hb=hb, wb=wb,
+            flags=flags, niter=niter, extra_refresh=0, luma=luma,
+            want_pix=False)
+        return out, badv
 
 
 def smooth_plane_batch(coefs, qtbl, flags: int, niter: int,
@@ -137,3 +159,172 @@ def smooth_plane_batch(coefs, qtbl, flags: int, niter: int,
         jnp.zeros((), I32), n=n, hb=hb, wb=wb, flags=flags, niter=niter,
         luma=luma)
     return np.asarray(out.astype(jnp.int16)).reshape(n, hb, wb, 64)
+
+
+# ---------------------------------------------------------------------------
+# Whole-image batching (color, all quality levels)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _image_batch_impl(inputs, fence, *, cfg):
+    """The fused whole-image program (engine._image_smooth_impl) over a
+    batch of N same-config images."""
+    from .engine import _int16_wrap  # shared storage-wrap helper
+
+    with fp32.fence_token(fence):
+        flags = cfg.flags
+        n = cfg.n
+        image1 = None     # luma pix blocks [8, 8, N, Bl]
+        image2 = None     # downsampled-luma halos [10, 10, N*Bc]
+        stop = jnp.zeros((n,), jnp.bool_)
+        outs, badvs, ups = [], [], {}
+        for ci, cc in enumerate(cfg.comps):
+            coef16, qraw, div, x1, qshr = inputs[ci]
+            B = cc.hb * cc.wb
+            dq16 = _int16_wrap(
+                coef16.astype(I32) * qraw[None, None, :]).astype(jnp.int16)
+            if cc.mode == "dequant":
+                outs.append(dq16)
+                continue
+            out, badv, pix_n = _batch_component(
+                coef16, qraw, div, x1, qshr, image2, n=n, hb=cc.hb,
+                wb=cc.wb, flags=flags, niter=cc.niter2,
+                extra_refresh=cc.extra_refresh, luma=cc.luma,
+                want_pix=cc.want_plane == "pix")
+            out16 = jnp.where(stop[:, None, None], dq16,
+                              out.astype(jnp.int16))
+            outs.append(out16)
+            badvs.append(badv)
+            stop = stop | badv
+            hbl, wbl = cfg.comps[0].hb, cfg.comps[0].wb
+            if image1 is not None:
+                hbc, wbc = cc.hb, cc.wb
+
+                def up_one(chroma_pix, i2h, luma_pix):
+                    up = planar.upsample_chroma_blocks(
+                        planar.blocks_halo10(chroma_pix, hbc, wbc), i2h,
+                        luma_pix, cfg.img_w, cfg.img_h, cfg.ws, cfg.hs,
+                        hbl, wbl, hbc, wbc)
+                    fb = (up - 128).astype(F)
+                    uc = c_f32_to_i32(roundf(
+                        planar.fdct_float_p(fb).reshape(64, hbl * wbl)))
+                    return uc.T.astype(jnp.int16).reshape(hbl, wbl, 64)
+
+                i2_n = image2.reshape(10, 10, n, hbc * wbc)
+                ups[str(ci)] = jax.vmap(up_one, in_axes=(2, 2, 2))(
+                    pix_n, i2_n, image1)
+            elif ci == 0 and cfg.need_downsample:
+                hbc, wbc = cfg.comps[1].hb, cfg.comps[1].wb
+                if (flags & UPSAMPLE_UV) and not (cfg.ws == 1
+                                                  and cfg.hs == 1):
+                    image1 = pix_n
+                ds = jax.vmap(
+                    lambda p: planar.downsample_blocks(
+                        p, hbl, wbl, hbc, wbc, cfg.ws, cfg.hs),
+                    in_axes=2, out_axes=2)(pix_n)
+                h = jax.vmap(
+                    lambda d: planar.blocks_halo10(d, hbc, wbc),
+                    in_axes=2, out_axes=2)(ds)
+                image2 = h.reshape(10, 10, n * hbc * wbc)
+        return tuple(outs), tuple(badvs), ups
+
+
+class _BCfg:
+    """Hashable static config: the fused-image cfg plus the batch size."""
+
+    __slots__ = ("flags", "need_downsample", "img_w", "img_h", "ws", "hs",
+                 "comps", "ds_blocks", "n")
+
+    def __init__(self, base, n):
+        for k in self.__slots__[:-1]:
+            setattr(self, k, getattr(base, k))
+        self.n = n
+
+    def _key(self):
+        return tuple(getattr(self, k) for k in self.__slots__)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _BCfg) and self._key() == other._key()
+
+
+def smooth_image_batch(imgs, opts: QsOptions = None):
+    """Smooth N decoded images with identical geometry/quant tables in
+    one device program.  Returns a list of engine.SmoothResult.
+
+    All images must share component shapes, sampling factors and quant
+    tables (the bucketed-corpus case); sampling factors must be <= 2.
+    Falls back to per-image smoothing when the batch is not uniform.
+    """
+    from . import engine
+
+    if opts is None:
+        opts = QsOptions.from_quality(3, 3)
+    if not imgs:
+        return []
+
+    def sig(img):
+        return (img.width, img.height, img.jpeg_color_space,
+                tuple((c.h_samp_factor, c.v_samp_factor,
+                       c.width_in_blocks, c.height_in_blocks,
+                       c.quantval.tobytes()) for c in img.components))
+
+    first = imgs[0]
+    uniform = (all(sig(im) == sig(first) for im in imgs[1:])
+               and first.components[0].h_samp_factor <= 2
+               and first.components[0].v_samp_factor <= 2
+               and opts.progress is None)
+    if not uniform or len(imgs) == 1:
+        return [engine.smooth(im, opts) for im in imgs]
+
+    prep = engine.prepare_fused(first, opts)
+    if prep is None:
+        return [engine.smooth(im, opts) for im in imgs]
+    _, cfg0, meta = prep
+    n = len(imgs)
+
+    if cfg0.need_downsample and not cfg0.ds_blocks:
+        return [engine.smooth(im, opts) for im in imgs]
+    cfg = _BCfg(cfg0, n)
+    prog_index = meta["prog_index"]
+
+    inputs = []
+    for ci in sorted(prog_index, key=lambda c: prog_index[c]):
+        comp = first.components[ci]
+        qraw = np.asarray(comp.quantval, np.int32)
+        div, x1, qshr = make_quant_tables(qraw)
+        stack = np.stack([
+            np.asarray(im.components[ci].coefs, np.int16).reshape(
+                comp.height_in_blocks * comp.width_in_blocks, 64)
+            for im in imgs])
+        inputs.append((jnp.asarray(stack), jnp.asarray(qraw),
+                       jnp.asarray(div), jnp.asarray(x1),
+                       jnp.asarray(qshr)))
+
+    outs, badvs, ups = _image_batch_impl(tuple(inputs), jnp.zeros((), I32),
+                                         cfg=cfg)
+    static_stop = meta["static_stop"]
+    image1_live = meta["image1_live"]
+    outs_np = [np.asarray(o) for o in outs]
+    badv_np = (np.stack([np.asarray(b) for b in badvs], axis=0).any(axis=0)
+               if badvs else np.zeros(n, bool))
+    up1 = np.asarray(ups[str(prog_index.get(1))]) if (
+        image1_live and str(prog_index.get(1)) in ups) else None
+    up2 = np.asarray(ups[str(prog_index.get(2))]) if (
+        image1_live and str(prog_index.get(2)) in ups) else None
+
+    results = []
+    for i, im in enumerate(imgs):
+        res = engine.SmoothResult()
+        res.coefs = [np.asarray(c.coefs, np.int16).copy()
+                     for c in im.components]
+        for ci, pi in prog_index.items():
+            cc = cfg.comps[pi]
+            res.coefs[ci] = outs_np[pi][i].reshape(cc.hb, cc.wb, 64)
+        res.stop = 1 if (static_stop or badv_np[i]) else 0
+        if not res.stop and up1 is not None and up2 is not None:
+            res.upsampled = (up1[i], up2[i])
+        results.append(res)
+    return results

@@ -38,3 +38,39 @@ def test_plane_batch_matches_engine(quality):
     for i, im in enumerate(imgs):
         want = engine.smooth(im, opts).coefs[0]
         assert np.array_equal(got[i], want), f"image {i}"
+
+
+@pytest.mark.parametrize("quality", [3, 5, 6, 0])
+def test_image_batch_matches_engine(quality):
+    """Whole-image color batching == per-image engine, all paths."""
+    from jpegqs_tpu.batch import smooth_image_batch
+
+    datas = [make_jpeg(48, 64, "photo", seed=100 + s, color=True,
+                       quality=70, subsamp=1) for s in range(3)]
+    imgs = [jpegio.read_coefficients(d) for d in datas]
+    opts = QsOptions.from_quality(quality, 3)
+    got = smooth_image_batch(imgs, opts)
+    for i, im in enumerate(imgs):
+        want = engine.smooth(im, opts)
+        for ci in range(3):
+            assert np.array_equal(got[i].coefs[ci], want.coefs[ci]), \
+                f"img {i} comp {ci}"
+        assert (got[i].upsampled is None) == (want.upsampled is None)
+        if want.upsampled is not None:
+            for k in range(2):
+                assert np.array_equal(got[i].upsampled[k],
+                                      want.upsampled[k]), f"img {i} up {k}"
+
+
+def test_image_batch_nonuniform_fallback():
+    from jpegqs_tpu.batch import smooth_image_batch
+
+    datas = [make_jpeg(48, 64, "photo", seed=1, color=True, quality=70),
+             make_jpeg(40, 64, "photo", seed=2, color=True, quality=70)]
+    imgs = [jpegio.read_coefficients(d) for d in datas]
+    opts = QsOptions.from_quality(3, 3)
+    got = smooth_image_batch(imgs, opts)
+    for i, im in enumerate(imgs):
+        want = engine.smooth(im, opts)
+        for ci in range(3):
+            assert np.array_equal(got[i].coefs[ci], want.coefs[ci])
