@@ -45,6 +45,17 @@ def main():
     print(f"smooth_many: {dt:.2f}s -> {n / dt:.2f} images/s, "
           f"{mp / dt:.1f} MP/s end-to-end (tunnel transfers included)")
 
+    # uniform corpus: one device program for the whole batch
+    from jpegqs_tpu import smooth_image_batch
+    from jpegqs_tpu.host import jpegio
+    imgs = [jpegio.read_coefficients(d) for d in datas]
+    smooth_image_batch(imgs[:2], opts)  # warm
+    t0 = time.perf_counter()
+    smooth_image_batch(imgs, opts)
+    bt = time.perf_counter() - t0
+    print(f"smooth_image_batch (1 program, decode excluded): {bt:.2f}s -> "
+          f"{n / bt:.2f} images/s, {mp / bt:.1f} MP/s")
+
     ref = os.path.join(REPO, ".ref", "jpegqs_native")
     if os.path.exists(ref):
         with tempfile.TemporaryDirectory() as d:
