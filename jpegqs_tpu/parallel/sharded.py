@@ -98,7 +98,8 @@ def _local_block_pass(coef, padded, image2, div, x1, qshr, flags, tables,
 
 def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                         extra_refresh=0, luma=True, row_axis="row",
-                        batch_axis=None, use_image2=False):
+                        batch_axis=None, use_image2=False,
+                        want_interior=False):
     """Build a jitted sharded component smoother.
 
     Returns fn(coef16, qraw, div, x1, qshr[, image2]) -> (coef, badv)
@@ -139,6 +140,7 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
         if use_image2 and (flags & JOINT_YUV):
             img2_padded = _build_padded_local(image2, row_axis)
 
+        interior = None
         for it in range(niter + extra_refresh):
             pix = idct_islow(coef.reshape(B, 8, 8))
             interior = pix.reshape(hb_loc, wb, 8, 8).transpose(
@@ -150,6 +152,8 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                                      qshr, flags, tables, luma, hb_loc, wb)
         coef = jnp.where(badv, coef_dq, coef)
         coef = jnp.clip(coef, -1023, 1023)
+        if want_interior:
+            return coef.reshape(hb_loc, wb, 64), badv, interior
         return coef.reshape(hb_loc, wb, 64), badv
 
     img2_spec = P(row_axis, None)
@@ -157,6 +161,8 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
         in_specs = (P(row_axis, None, None), P(), P(), P(), P(),
                     img2_spec, P())
         out_specs = (P(row_axis, None, None), P())
+        if want_interior:
+            out_specs = out_specs + (P(row_axis, None),)
         fn = local_fn
     else:
         def fn(coef16, qraw, div, x1, qshr, image2, fence):
@@ -174,6 +180,58 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
         if image2 is None:
             image2 = jnp.zeros((hb * 8, wb * 8), I32)
         return sharded(coef16, qraw, div, x1, qshr, image2, jnp.int32(0))
+
+    return run
+
+
+def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
+                              ws, hs, flags, niter, row_axis="row"):
+    """End-to-end sharded YCbCr smoothing (solver/LQ/JOINT paths —
+    the reference flow quantsmooth.h:2484-2834 minus UPSAMPLE_UV).
+
+    All three component planes are row-sharded over the mesh; the luma
+    pass also emits its sharded interior pixel rows, which are box-
+    downsampled shard-locally and fed to the chroma JOINT passes with
+    an on-device 1px halo exchange.
+
+    Requires aligned dims (hb_l == hs*hb_c, wb_l == ws*wb_c, standard
+    even-size images) and hb_l, hb_c divisible by the row-axis size;
+    ws, hs in {1, 2}.  Returns
+    fn(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c) -> (y, cb, cr, badv).
+    """
+    assert ws in (1, 2) and hs in (1, 2)
+    assert hb_l == hs * hb_c and wb_l == ws * wb_c, "aligned dims only"
+    n_rows = mesh.shape[row_axis]
+    assert hb_l % n_rows == 0 and hb_c % n_rows == 0
+
+    luma_fn = make_sharded_smooth(
+        mesh, hb=hb_l, wb=wb_l, flags=flags, niter=niter,
+        extra_refresh=1, luma=True, row_axis=row_axis, want_interior=True)
+    chroma_fn = make_sharded_smooth(
+        mesh, hb=hb_c, wb=wb_c, flags=flags, niter=niter,
+        extra_refresh=0, luma=False, row_axis=row_axis, use_image2=True)
+
+    @jax.jit
+    def downsample(interior):
+        # exact 2x2/2x1/1x2 box (quantsmooth.h:2778-2800); a local
+        # stencil, partitioned automatically across the row shards
+        if hs == 2 and ws == 2:
+            a = (interior[0::2, 0::2] + interior[0::2, 1::2]
+                 + interior[1::2, 0::2] + interior[1::2, 1::2])
+            return (a + 2) >> 2
+        if hs == 2:
+            return ((interior[0::2] + interior[1::2]) + 1) >> 1
+        if ws == 2:
+            return ((interior[:, 0::2] + interior[:, 1::2]) + 1) >> 1
+        return interior
+
+    def run(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c):
+        """qtabs_*: (qraw, div, x1, qshr) int32[64] tuples."""
+        y, bad_y, interior = luma_fn(coef_y, *qtabs_y)
+        image2 = downsample(interior)
+        cb, bad_cb = chroma_fn(coef_cb, *qtabs_c, image2)
+        cr, bad_cr = chroma_fn(coef_cr, *qtabs_c, image2)
+        return y, cb, cr, (bad_y, bad_cb, bad_cr)
 
     return run
 

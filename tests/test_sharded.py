@@ -141,6 +141,62 @@ def test_sharded_large_plane():
     assert np.array_equal(np.asarray(got), want)
 
 
+def test_sharded_ycbcr_end_to_end():
+    """Full sharded YCbCr q5 flow (luma -> sharded downsample ->
+    chroma JOINT with halo'd image2) == single-device engine."""
+    from jpegqs_tpu.parallel.sharded import make_sharded_ycbcr_smooth
+    from jpegqs_tpu.host.jpegio import JpegImage, ComponentData
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    hb_l, wb_l, hb_c, wb_c, ws, hs = 16, 8, 8, 4, 2, 2
+    rng = np.random.default_rng(55)
+    qt_y = np.clip(rng.integers(2, 60, 64), 1, 255).astype(np.uint16)
+    qt_c = np.clip(rng.integers(2, 40, 64), 1, 255).astype(np.uint16)
+
+    def mkcoef(hb, wb, qt, seed):
+        r = np.random.default_rng(seed)
+        cap = 2047 // qt.astype(np.int32)
+        c = r.integers(-40, 41, (hb, wb, 64)) // (1 + np.arange(64) // 8)
+        return np.clip(c, -cap, cap).astype(np.int16)
+
+    cy = mkcoef(hb_l, wb_l, qt_y, 1)
+    ccb = mkcoef(hb_c, wb_c, qt_c, 2)
+    ccr = mkcoef(hb_c, wb_c, qt_c, 3)
+
+    # single-device reference result via the engine
+    img = JpegImage(width=wb_l * 8, height=hb_l * 8, jpeg_color_space=3,
+                    progressive=False, max_h_samp_factor=ws,
+                    max_v_samp_factor=hs)
+    for ci, (h, w, sf, qt, co) in enumerate((
+            (hb_l, wb_l, (ws, hs), qt_y, cy),
+            (hb_c, wb_c, (1, 1), qt_c, ccb),
+            (hb_c, wb_c, (1, 1), qt_c, ccr))):
+        img.components.append(ComponentData(
+            component_id=ci, h_samp_factor=sf[0], v_samp_factor=sf[1],
+            quant_tbl_no=0 if ci == 0 else 1, width_in_blocks=w,
+            height_in_blocks=h, quantval=qt, coefs=co.copy()))
+    opts = QsOptions(flags=2 | 1, niter=2)   # JOINT_YUV | DIAGONALS
+    want = engine.smooth(img, opts)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_ycbcr_smooth(mesh, hb_l=hb_l, wb_l=wb_l, hb_c=hb_c,
+                                   wb_c=wb_c, ws=ws, hs=hs, flags=2 | 1,
+                                   niter=2)
+
+    def tabs(qt):
+        qraw = qt.astype(np.int32)
+        div, x1, qshr = make_quant_tables(qraw)
+        return tuple(map(jnp.asarray, (qraw, div, x1, qshr)))
+
+    sh = row_sharding(mesh)
+    y, cb, cr, bad = fn(jax.device_put(cy, sh), jax.device_put(ccb, sh),
+                        jax.device_put(ccr, sh), tabs(qt_y), tabs(qt_c))
+    assert np.array_equal(np.asarray(y), want.coefs[0])
+    assert np.array_equal(np.asarray(cb), want.coefs[1])
+    assert np.array_equal(np.asarray(cr), want.coefs[2])
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
