@@ -137,8 +137,10 @@ def main(argv=None) -> int:
         return 1
 
     qs_opts = QsOptions(flags=flags, niter=niter, threads=opts["threads"])
+    num_warnings = 0
     try:
-        with JpegCoefFile(data, copy_markers=opts["copy"]) as f:
+        with JpegCoefFile(data, copy_markers=opts["copy"],
+                          verbose=opts["verbose"]) as f:
             img = f.read()
             if info & 1:
                 print(f"width/height: {img.width}x{img.height}, "
@@ -178,6 +180,7 @@ def main(argv=None) -> int:
             if res.upsampled is not None:
                 f.set_upsampled(res.upsampled[0], res.upsampled[1])
             out = f.save(optimize=bool(opts["optimize"]))
+            num_warnings = f.num_warnings()
     except ValueError as e:
         print(f"{PROGNAME}: {e}", file=sys.stderr)
         return 1
@@ -193,7 +196,9 @@ def main(argv=None) -> int:
         print(f'{PROGNAME}: can\'t open output file "{outfile}"',
               file=sys.stderr)
         return 1
-    return 0
+    # libjpeg warned (damaged input etc.) -> exit 2, like the reference
+    # (quantsmooth.c:626: jsrcerr.num_warnings + jdsterr.num_warnings)
+    return 2 if num_warnings else 0
 
 
 if __name__ == "__main__":

@@ -46,27 +46,28 @@ def _int16_wrap(x):
     return x.astype(jnp.int16).astype(I32)
 
 
-def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
-                  hb, wb):
+def block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
+                 mkhalo10, mkborders, hb, wb):
     """One smoothing pass over all blocks of a component, planar layout
     (reference: quantsmooth.h:564-1848; driver loop 2624-2651).
 
     coef int32[64, B]; pix int32[8, 8, B] (current pixel blocks);
     image2: downsampled-luma halos int32[10, 10, B] or None.
+    ``mkhalo10(pix) -> [10, 10, B]`` and ``mkborders(pix) -> 4x[8, B]``
+    supply the cross-block pixel neighborhoods — the single-device
+    gathers here, ppermute-exchanging variants in parallel/sharded.py.
     """
     if image2 is not None:
-        fb = planar.joint_yuv_fblocks(planar.blocks_halo10(pix, hb, wb),
-                                      image2)
+        fb = planar.joint_yuv_fblocks(mkhalo10(pix), image2)
         coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
 
     if flags & LOW_QUALITY:
         if image2 is None:
             rng = planar.low_quality_range_p(coef, div)
-            fb = planar.low_quality_fblocks(
-                planar.blocks_halo10(pix, hb, wb), rng)
+            fb = planar.low_quality_fblocks(mkhalo10(pix), rng)
             coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
     else:
-        borders = planar.borders_from_blocks(pix, hb, wb)
+        borders = mkborders(pix)
         do_reb = not (flags & NO_REBALANCE
                       or (not luma and (flags & NO_REBALANCE_UV)))
         if pallas_solver.use_pallas():
@@ -85,6 +86,15 @@ def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
     if not luma and (flags & NO_REBALANCE_UV):
         return coef
     return planar.rebalance_blocks_p(coef, div, x1, qshr)
+
+
+def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
+                  hb, wb):
+    """Single-device block pass: in-array neighbor gathers."""
+    return block_pass_p(
+        coef, pix, image2, div, x1, qshr, flags, tables, luma,
+        lambda p: planar.blocks_halo10(p, hb, wb),
+        lambda p: planar.borders_from_blocks(p, hb, wb), hb, wb)
 
 
 @partial(jax.jit, static_argnames=("hb", "wb", "flags", "niter",

@@ -41,6 +41,8 @@ typedef struct {
     int upsampled;
     uint8_t *input_copy;
     int open_ok;
+    int verbose;
+    int32_t extra_warnings;  /* encode-side warnings from qs_save */
 } qs_handle;
 
 typedef struct {
@@ -70,16 +72,31 @@ static void qs_error_exit(j_common_ptr cinfo) {
     longjmp(h->env, 1);
 }
 
-static void qs_emit_silence(j_common_ptr cinfo, int msg_level) {
-    (void)cinfo; (void)msg_level;
+/* libjpeg's default emit_message semantics (count corrupt-data warnings,
+ * honor trace_level) but never aborting on output: matches the reference
+ * CLI, whose exit code is num_warnings ? 2 : 0 (quantsmooth.c:626) and
+ * whose trace verbosity comes from --verbose (quantsmooth.c:498). */
+static void qs_emit_message(j_common_ptr cinfo, int msg_level) {
+    struct jpeg_error_mgr *err = cinfo->err;
+    if (msg_level < 0) {
+        if (err->num_warnings == 0 || err->trace_level >= 3)
+            (*err->output_message)(cinfo);
+        err->num_warnings++;
+    } else {
+        if (err->trace_level >= msg_level)
+            (*err->output_message)(cinfo);
+    }
 }
 
-QS_EXPORT qs_handle *qs_open(const uint8_t *data, size_t size, int copy_markers) {
+QS_EXPORT qs_handle *qs_open(const uint8_t *data, size_t size,
+                             int copy_markers, int verbose) {
     qs_handle *h = (qs_handle *)calloc(1, sizeof(qs_handle));
     if (!h) return NULL;
     h->srcinfo.err = jpeg_std_error(&h->jerr);
     h->jerr.error_exit = qs_error_exit;
-    h->jerr.emit_message = qs_emit_silence;
+    h->jerr.emit_message = qs_emit_message;
+    h->jerr.trace_level = verbose;
+    h->verbose = verbose;
     h->srcinfo.client_data = h;
     if (setjmp(h->env)) {
         /* error during open: keep handle alive so caller can read errmsg */
@@ -222,14 +239,22 @@ QS_EXPORT int qs_save(qs_handle *h, int optimize, int set_qtable_one,
     jpeg_saved_marker_ptr marker;
     int ci, i;
     JQUANT_TBL *qtbl;
+    /* originals stashed so repeated saves see unmutated source tables */
+    uint16_t saved_q[NUM_QUANT_TBLS][DCTSIZE2];
+    int saved_mask = 0;
 
     if (setjmp(h->env)) return -1;
 
     if (set_qtable_one) {
         for (ci = 0; ci < NUM_QUANT_TBLS; ci++) {
             qtbl = h->srcinfo.quant_tbl_ptrs[ci];
-            if (qtbl) for (i = 0; i < DCTSIZE2; i++) qtbl->quantval[i] = 1;
+            if (!qtbl) continue;
+            memcpy(saved_q[ci], qtbl->quantval, sizeof(saved_q[ci]));
+            saved_mask |= 1 << ci;
+            for (i = 0; i < DCTSIZE2; i++) qtbl->quantval[i] = 1;
         }
+        /* comp_info quant_table may be a private copy, not a
+         * quant_tbl_ptrs alias — set (and restore) it independently */
         for (ci = 0; ci < h->srcinfo.num_components; ci++) {
             qtbl = h->srcinfo.comp_info[ci].quant_table;
             if (qtbl) for (i = 0; i < DCTSIZE2; i++) qtbl->quantval[i] = 1;
@@ -238,7 +263,8 @@ QS_EXPORT int qs_save(qs_handle *h, int optimize, int set_qtable_one,
 
     dstinfo.err = jpeg_std_error(&jdsterr);
     jdsterr.error_exit = qs_error_exit;
-    jdsterr.emit_message = qs_emit_silence;
+    jdsterr.emit_message = qs_emit_message;
+    jdsterr.trace_level = h->verbose;
     dstinfo.client_data = h;
     jpeg_create_compress(&dstinfo);
     jpeg_copy_critical_parameters(&h->srcinfo, &dstinfo);
@@ -254,10 +280,31 @@ QS_EXPORT int qs_save(qs_handle *h, int optimize, int set_qtable_one,
         jpeg_write_marker(&dstinfo, marker->marker, marker->data, marker->data_length);
     }
     jpeg_finish_compress(&dstinfo);
+    h->extra_warnings += (int32_t)jdsterr.num_warnings;
     jpeg_destroy_compress(&dstinfo);
+    /* undo the in-place quantval mutation (both table views) */
+    for (ci = 0; ci < NUM_QUANT_TBLS; ci++) {
+        if (!(saved_mask & (1 << ci))) continue;
+        memcpy(h->srcinfo.quant_tbl_ptrs[ci]->quantval, saved_q[ci],
+               sizeof(saved_q[ci]));
+    }
+    if (set_qtable_one) {
+        for (ci = 0; ci < h->srcinfo.num_components; ci++) {
+            jpeg_component_info *c = h->srcinfo.comp_info + ci;
+            if (c->quant_table && (saved_mask & (1 << c->quant_tbl_no)))
+                memcpy(c->quant_table->quantval, saved_q[c->quant_tbl_no],
+                       sizeof(saved_q[0]));
+        }
+    }
     *out = buffer;
     *out_size = bufsize;
     return 0;
+}
+
+/* Total libjpeg corrupt-data warnings so far (decode + any saves) —
+ * the reference CLI's exit-code source (quantsmooth.c:626). */
+QS_EXPORT int32_t qs_num_warnings(qs_handle *h) {
+    return (int32_t)h->srcinfo.err->num_warnings + h->extra_warnings;
 }
 
 QS_EXPORT void qs_free_buf(uint8_t *buf) { free(buf); }

@@ -67,7 +67,10 @@ def get_lib() -> ctypes.CDLL:
         _build_lib()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.qs_open.restype = ctypes.c_void_p
-    lib.qs_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+    lib.qs_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+                            ctypes.c_int]
+    lib.qs_num_warnings.restype = ctypes.c_int32
+    lib.qs_num_warnings.argtypes = [ctypes.c_void_p]
     lib.qs_ok.restype = ctypes.c_int
     lib.qs_ok.argtypes = [ctypes.c_void_p]
     lib.qs_error.restype = ctypes.c_char_p
@@ -143,9 +146,9 @@ class JpegCoefFile:
     engine mutate them, re-encode with quant tables forced to 1.
     """
 
-    def __init__(self, data: bytes, copy_markers: int = 2):
+    def __init__(self, data: bytes, copy_markers: int = 2, verbose: int = 0):
         self._lib = get_lib()
-        self._h = self._lib.qs_open(data, len(data), copy_markers)
+        self._h = self._lib.qs_open(data, len(data), copy_markers, verbose)
         if not self._h:
             raise MemoryError("qs_open failed")
         if not self._lib.qs_ok(self._h):
@@ -214,6 +217,11 @@ class JpegCoefFile:
             return ctypes.string_at(out, out_size.value)
         finally:
             self._lib.qs_free_buf(out)
+
+    def num_warnings(self) -> int:
+        """Total libjpeg corrupt-data warnings (decode + saves) — drives
+        the reference-compatible exit code 2 (quantsmooth.c:626)."""
+        return int(self._lib.qs_num_warnings(self._h))
 
     def close(self) -> None:
         if self._h:

@@ -45,6 +45,31 @@ _I_SEQ = NATURAL_ORDER[63:0:-1].astype(np.int32)            # [63]
 _REFRESH_SEQ = ZIGZAG_REFRESH[_I_SEQ].astype(np.int32)      # [63]
 
 
+def _make_groups():
+    """Refresh groups of the k=63..1 sweep.
+
+    Between two zigzag_refresh points no pixel state changes, so the
+    coefficient steps inside one interval are mutually independent:
+    their a2/a3 folds read the same frozen diffs and each writes only
+    its own coefficient row (reference: quantsmooth.h:1403-1564 —
+    coupling is solely through the idct refresh at 1407-1409).  Running
+    a group's accumulations as independent chains preserves each
+    chain's exact fold order (bit-exactness) while giving the VPU
+    group-many independent dependency chains instead of one.
+    """
+    groups, cur = [], []
+    for k in range(63):
+        if _REFRESH_SEQ[k] and cur:
+            groups.append(tuple(cur))
+            cur = []
+        cur.append(int(_I_SEQ[k]))
+    groups.append(tuple(cur))
+    return tuple(groups)
+
+
+_GROUPS = _make_groups()   # 14 groups, sizes 1..8; each starts a refresh
+
+
 def use_pallas() -> bool:
     """Use the Pallas kernel on TPU (override: JPEGQS_PALLAS=0/1)."""
     import os
@@ -175,61 +200,63 @@ def _interval_clamp(add, a0, div):
 # ---------------------------------------------------------------------------
 
 def _solve_kernel(nt, ntp, do_rebalance, fenced,
-                  iseq_ref, refr_ref, div_ref, x1_ref, qshr_ref, tab_ref,
-                  fence_ref,
+                  div_ref, x1_ref, qshr_ref, tab_ref, fence_ref,
                   coef_ref, bord_ref, out_ref,
                   diffs_ref, absd_ref, need_ref):
     fence = _mkfence(fence_ref[0], fenced)
     out_ref[...] = coef_ref[...]
     need_ref[...] = jnp.ones((8, 128), I32)
 
-    def kstep(k, _):
-        i = iseq_ref[k]
+    for g_is in _GROUPS:
+        # refresh — every group opens one (zigzag_refresh); per-lane
+        # masked: lanes whose coefs did not change keep their diffs
+        pix = _idct_tile(out_ref[...])
+        dd = _diffs_tile(pix, bord_ref[...], nt).astype(F)
+        if ntp != nt:
+            dd = jnp.concatenate([dd, jnp.zeros((ntp - nt, 8, 128), F)])
+        sel = (need_ref[...] != 0)[None]
+        diffs_ref[...] = jnp.where(sel, dd, diffs_ref[...])
+        absd_ref[...] = jnp.where(sel, jnp.abs(dd), absd_ref[...])
+        need_ref[...] = jnp.zeros((8, 128), I32)
 
-        @pl.when(refr_ref[k] != 0)
-        def _refresh():
-            pix = _idct_tile(out_ref[...])
-            dd = _diffs_tile(pix, bord_ref[...], nt).astype(F)
-            if ntp != nt:
-                dd = jnp.concatenate(
-                    [dd, jnp.zeros((ntp - nt, 8, 128), F)])
-            sel = (need_ref[...] != 0)[None]
-            diffs_ref[...] = jnp.where(sel, dd, diffs_ref[...])
-            absd_ref[...] = jnp.where(sel, jnp.abs(dd), absd_ref[...])
-            need_ref[...] = jnp.zeros((8, 128), I32)
+        m = len(g_is)
+        rngs = [(div_ref[i] * 2).astype(F) for i in g_is]
 
-        rng = (div_ref[i] * 2).astype(F)
-
-        def chunk(c, carry):
-            a2, a3 = carry
+        def chunk(c, carry, g_is=g_is, rngs=rngs):
             d = diffs_ref[pl.ds(c * 8, 8)]                  # [8, 8, 128]
             ad = absd_ref[pl.ds(c * 8, 8)]
-            t = jnp.maximum(rng - ad, F(0))                 # integral: exact
-            t = t * t                                       # < 2^24: exact
-            u = fence(d * t)
-            base = i * ntp + c * 8
-            for j in range(8):
-                tb = tab_ref[base + j]                      # SMEM scalar
-                w = fence(tb * t[j])
-                a2 = fence(a2 + fence(u[j] * w))
-                a3 = fence(a3 + fence(w * w))
-            return a2, a3
+            out = []
+            for x, i in enumerate(g_is):
+                a2, a3 = carry[2 * x], carry[2 * x + 1]
+                t = jnp.maximum(rngs[x] - ad, F(0))         # integral: exact
+                t = t * t                                   # < 2^24: exact
+                u = fence(d * t)
+                base = i * ntp + c * 8
+                for j in range(8):
+                    tb = tab_ref[base + j]                  # SMEM scalar
+                    w = fence(tb * t[j])
+                    a2 = fence(a2 + fence(u[j] * w))
+                    a3 = fence(a3 + fence(w * w))
+                out += [a2, a3]
+            return tuple(out)
 
         zero = jnp.zeros((8, 128), F)
-        a2, a3 = jax.lax.fori_loop(0, ntp // 8, chunk, (zero, zero))
-        # TPU's divider is ~2 ulp; the reference's divss is IEEE-exact
-        q = fp32.exact_divide(a2, a3, fence if fenced else None)
-        delta = _c_f32_to_i32(_roundf(fence(q), fence))
-        coef1 = out_ref[pl.ds(i, 1)][0]
-        div_i = div_ref[i]
-        a0 = _orig_coef(coef1, div_i, x1_ref[i], qshr_ref[i])
-        add = _interval_clamp(coef1 - delta, a0, div_i)
-        newc = jnp.where(delta != 0, add, coef1)
-        need_ref[...] = need_ref[...] | (newc != coef1).astype(I32)
-        out_ref[pl.ds(i, 1)] = newc[None]
-        return 0
+        accs = jax.lax.fori_loop(0, ntp // 8, chunk, (zero,) * (2 * m))
 
-    jax.lax.fori_loop(0, 63, kstep, 0)
+        need = need_ref[...]
+        for x, i in enumerate(g_is):
+            a2, a3 = accs[2 * x], accs[2 * x + 1]
+            # TPU's divider is ~2 ulp; the reference divss is IEEE-exact
+            q = fp32.exact_divide(a2, a3, fence if fenced else None)
+            delta = _c_f32_to_i32(_roundf(fence(q), fence))
+            coef1 = out_ref[i]
+            div_i = div_ref[i]
+            a0 = _orig_coef(coef1, div_i, x1_ref[i], qshr_ref[i])
+            add = _interval_clamp(coef1 - delta, a0, div_i)
+            newc = jnp.where(delta != 0, add, coef1)
+            need = need | (newc != coef1).astype(I32)
+            out_ref[i] = newc
+        need_ref[...] = need
 
     if do_rebalance:
         # AC energy restore (quantsmooth.h:1823-1848); int64 emulated
@@ -298,7 +325,7 @@ def _solve_tiled(coef_t, bord_t, div, x1, qshr, fence, *, flags,
     tabf[:, :nt] = make_solver_tables(flags)[:, :nt]
     kernel = functools.partial(_solve_kernel, nt, ntp, do_rebalance, fenced)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=5,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, 64, 8, 128), lambda i, *_: (i, 0, 0, 0)),
@@ -312,10 +339,10 @@ def _solve_tiled(coef_t, bord_t, div, x1, qshr, fence, *, flags,
         ],
     )
 
-    def kern(iseq, refr, div_s, x1_s, qshr_s, tab_s, fence_s,
+    def kern(div_s, x1_s, qshr_s, tab_s, fence_s,
              coef_ref, bord_ref, out_ref,
              diffs_ref, absd_ref, need_ref):
-        kernel(iseq, refr, div_s, x1_s, qshr_s, tab_s, fence_s,
+        kernel(div_s, x1_s, qshr_s, tab_s, fence_s,
                coef_ref.at[0], bord_ref.at[0], out_ref.at[0],
                diffs_ref, absd_ref, need_ref)
 
@@ -324,7 +351,7 @@ def _solve_tiled(coef_t, bord_t, div, x1, qshr, fence, *, flags,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(coef_t.shape, jnp.int32),
         interpret=interpret,
-    )(jnp.asarray(_I_SEQ), jnp.asarray(_REFRESH_SEQ), div, x1, qshr,
+    )(div, x1, qshr,
       jnp.asarray(tabf.reshape(-1)), fence.reshape(1), coef_t, bord_t)
 
 
@@ -339,7 +366,13 @@ def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
     TPU (Mosaic emits plain IEEE mul/add — verified bit-exact against
     the reference) and on in interpreter mode (which lowers through
     XLA:CPU, where FMA contraction is real).
+
+    On non-TPU backends the kernel automatically runs in interpreter
+    mode, so JPEGQS_PALLAS=1 exercises the kernel path end-to-end in
+    CPU tests and multi-chip dryruns.
     """
+    if jax.default_backend() != "tpu":
+        interpret = True
     if fenced is None:
         fenced = interpret or jax.default_backend() != "tpu"
     B = coef.shape[1]

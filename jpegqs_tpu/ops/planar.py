@@ -397,7 +397,8 @@ def _lowres_to_hires_blocks(x, hb_l, wb_l, hb_c, wb_c, ws, hs):
 
 
 def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
-                           img_w, img_h, ws, hs, hb_l, wb_l, hb_c, wb_c):
+                           img_w, img_h, ws, hs, hb_l, wb_l, hb_c, wb_c,
+                           row0=0, hb_l_total=None):
     """UPSAMPLE_UV fully in block form (reference:
     quantsmooth.h:1851-2394, 2691-2752) — no full-resolution planes.
 
@@ -410,11 +411,19 @@ def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
     out-of-image lum=0 region is entirely cropped from the output, and
     the replicate tails (right edge for the first min(8,h1)*hs rows —
     the reference quirk — then bottom rows) become block-row masks.
+
+    Row-sharded use: hb_l/hb_c are the local shard dims, ``row0`` the
+    shard's global first pixel row (may be traced), ``hb_l_total`` the
+    global luma block rows.  Both replicate tails stay shard-local:
+    hh - h1*hs < 8, so the bottom tail and its source row live in the
+    last block row.
     """
     from . import fp32
 
     w1 = (img_w + ws - 1) // ws
     h1 = (img_h + hs - 1) // hs
+    if hb_l_total is None:
+        hb_l_total = hb_l
 
     # regression slope per low-res pixel (same math as JOINT)
     a = luma2_halo.astype(F)
@@ -439,9 +448,10 @@ def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
     out = jnp.clip(jnp.trunc(val), 0, 255).astype(I32)
 
     o4 = out.reshape(8, 8, hb_l, wb_l)
-    hh, ww = hb_l * 8, wb_l * 8
+    hh, ww = hb_l_total * 8, wb_l * 8
     row_g = (jax.lax.broadcasted_iota(I32, (8, 1, hb_l, 1), 0)
-             + 8 * jax.lax.broadcasted_iota(I32, (8, 1, hb_l, 1), 2))
+             + 8 * jax.lax.broadcasted_iota(I32, (8, 1, hb_l, 1), 2)
+             + row0)
     col_g = (jax.lax.broadcasted_iota(I32, (1, 8, 1, wb_l), 1)
              + 8 * jax.lax.broadcasted_iota(I32, (1, 8, 1, wb_l), 3))
     # right-edge replicate from col w1*ws-1, first min(8,h1)*hs rows
@@ -452,10 +462,14 @@ def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
         src_col = o4[:, sc % 8, :, sc // 8]            # [8, hb_l]
         mask = (row_g < rep_rows) & (col_g >= w1 * ws)
         o4 = jnp.where(mask, src_col[:, None, :, None], o4)
-    # bottom replicate from row h1*hs-1 (quantsmooth.h:2729-2730)
+    # bottom replicate from row h1*hs-1 (quantsmooth.h:2729-2730);
+    # source block row indexed dynamically (local = global - row0//8,
+    # clamped — shards that don't own it mask the result away)
     if h1 * hs < hh:
         sr = h1 * hs - 1
-        src_row = o4[sr % 8, :, sr // 8, :]            # [8, wb_l]
+        lb = jnp.clip(sr // 8 - row0 // 8, 0, hb_l - 1)
+        src_row = jax.lax.dynamic_index_in_dim(
+            o4[sr % 8], lb, axis=1, keepdims=False)    # [8, wb_l]
         mask = row_g >= h1 * hs
         o4 = jnp.where(mask, src_row[None, :, None, :], o4)
     return o4.reshape(8, 8, hb_l * wb_l)

@@ -10,97 +10,144 @@ exchange sits exactly where the reference has its implicit OpenMP
 barrier between the IDCT pass and the block pass
 (quantsmooth.h:2609 -> 2624).
 
+Compute runs the same planar fast path as the single-device engine
+(``engine.block_pass_p``): the [64, B] / [8, 8, B] layout and, on TPU,
+the fused Pallas solver+rebalance kernel — only the two cross-block
+gather functions are swapped for ppermute-exchanging variants.
+
 Batch parallelism across images is pure data parallelism on a second
 mesh axis (no communication until results are gathered).
 
-Bit-exactness: every block sees the same padded 10x10 neighborhood as
-in the single-device engine, so outputs are bit-identical (tested in
-tests/test_sharded.py by comparing against the single-device engine on
-a virtual 8-device CPU mesh).
+Bit-exactness: every block sees the same pixel neighborhood as in the
+single-device engine, so outputs are bit-identical (tested in
+tests/test_sharded.py on a virtual 8-device CPU mesh).
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..options import LOW_QUALITY, NO_REBALANCE, NO_REBALANCE_UV, JOINT_YUV
+from ..options import (LOW_QUALITY, JOINT_YUV, UPSAMPLE_UV)
 from ..ops import fp32
+from ..ops import planar
+from ..ops.quant import roundf, c_f32_to_i32
 from ..specref import make_solver_tables
-from ..ops.dct import idct_islow
-from ..ops.quant import fdct_clamp
-from ..ops.plane import plane_block_borders, plane_to_fblocks
-from ..ops.solver import solve_blocks
-from ..ops.rebalance import rebalance_blocks
-from ..ops.joint import joint_yuv_fplane
-from ..ops.lowq import low_quality_range, low_quality_fplane
 
 F = jnp.float32
 I32 = jnp.int32
+CENTERJSAMPLE = 128
 
 
-def _halo_exchange_rows(interior, axis):
-    """Exchange 1-pixel row halos along a sharded row axis.
+# ---------------------------------------------------------------------------
+# Cross-shard pixel-row exchange (the 1px halo of SURVEY §5)
+# ---------------------------------------------------------------------------
 
-    interior: local [H_loc, W] pixel rows.  Returns (top, bottom) halo
-    rows [W]: the neighbor's adjacent interior row, or the local edge
-    row replicated at the global boundary (quantsmooth.h:2612-2620).
+def _row_halo_blocks(pix, hb_loc, wb, axis):
+    """Exchange the cross-shard pixel rows of a block-row-sharded plane.
+
+    pix int32[8, 8, hb_loc*wb] (local blocks).  Returns (above, below)
+    int32[8(col), wb]: the pixel line adjacent to this shard's first /
+    last block row — the neighbor shard's edge line, or the local edge
+    line itself at the global image boundary (edge replication,
+    quantsmooth.h:2612-2620).
     """
-    r = jax.lax.axis_index(axis)
+    p = pix.reshape(8, 8, hb_loc, wb)
+    my_top = p[0, :, 0, :]
+    my_bot = p[7, :, -1, :]
     n = jax.lax.axis_size(axis)
-    # my last row -> next shard's top halo
+    if n == 1:
+        return my_top, my_bot
+    r = jax.lax.axis_index(axis)
     from_above = jax.lax.ppermute(
-        interior[-1, :], axis, [(i, i + 1) for i in range(n - 1)])
-    # my first row -> previous shard's bottom halo
+        my_bot, axis, [(i, i + 1) for i in range(n - 1)])
     from_below = jax.lax.ppermute(
-        interior[0, :], axis, [(i + 1, i) for i in range(n - 1)])
-    top = jnp.where(r == 0, interior[0, :], from_above)
-    bottom = jnp.where(r == n - 1, interior[-1, :], from_below)
-    return top, bottom
+        my_top, axis, [(i + 1, i) for i in range(n - 1)])
+    above = jnp.where(r == 0, my_top, from_above)
+    below = jnp.where(r == n - 1, my_bot, from_below)
+    return above, below
 
 
-def _build_padded_local(interior, axis):
-    """Local padded (+1px) plane from interior rows plus the halo."""
-    top, bottom = _halo_exchange_rows(interior, axis)
-    plane = jnp.concatenate([top[None, :], interior, bottom[None, :]], axis=0)
-    return jnp.pad(plane, ((0, 0), (1, 1)), mode="edge")
+def borders_from_blocks_sharded(pix, hb_loc, wb, axis):
+    """Sharded counterpart of planar.borders_from_blocks: solver halo
+    rows with the cross-shard lines ppermute-exchanged."""
+    p = pix.reshape(8, 8, hb_loc, wb)
+    above, below = _row_halo_blocks(pix, hb_loc, wb, axis)
+    top = jnp.concatenate([above[:, None, :], p[7, :, :-1, :]], axis=1)
+    bottom = jnp.concatenate([p[0, :, 1:, :], below[:, None, :]], axis=1)
+    left = jnp.concatenate([p[:, 0, :, :1], p[:, 7, :, :-1]], axis=2)
+    right = jnp.concatenate([p[:, 0, :, 1:], p[:, 7, :, -1:]], axis=2)
+    B = hb_loc * wb
+    return (top.reshape(8, B), bottom.reshape(8, B),
+            left.reshape(8, B), right.reshape(8, B))
 
 
-def _local_block_pass(coef, padded, image2, div, x1, qshr, flags, tables,
-                      luma, hb_loc, wb):
-    """Per-shard block pass — identical math to engine._block_pass."""
-    if image2 is not None:
-        fplane = joint_yuv_fplane(padded, image2)
-        coef = fdct_clamp(plane_to_fblocks(fplane, hb_loc, wb), coef,
-                          div, x1, qshr)
-    if flags & LOW_QUALITY:
-        if image2 is None:
-            rng = low_quality_range(coef, div)
-            range_map = jnp.repeat(jnp.repeat(rng.reshape(hb_loc, wb), 8, 0),
-                                   8, 1)
-            fplane = low_quality_fplane(padded, range_map)
-            coef = fdct_clamp(plane_to_fblocks(fplane, hb_loc, wb), coef,
-                              div, x1, qshr)
-    else:
-        borders = plane_block_borders(padded, hb_loc, wb)
-        coef = solve_blocks(coef, borders, div, x1, qshr, tables)
-    if flags & NO_REBALANCE:
-        return coef
-    if not luma and (flags & NO_REBALANCE_UV):
-        return coef
-    return rebalance_blocks(coef, div, x1, qshr)
+def blocks_halo10_sharded(pix, hb_loc, wb, axis):
+    """Sharded counterpart of planar.blocks_halo10: [10, 10, B] block
+    neighborhoods with the cross-shard rows exchanged.  Corners work as
+    in the local version: the vertical halo (including the exchanged
+    lines) is attached before the horizontal gather, so a neighbor's
+    column 7 carries the diagonal blocks' corner pixels."""
+    p4 = pix.reshape(8, 8, hb_loc, wb)
+    above, below = _row_halo_blocks(pix, hb_loc, wb, axis)
+    up = jnp.concatenate([above[None, :, None, :], p4[7:8, :, :-1, :]],
+                         axis=2)
+    dn = jnp.concatenate([p4[0:1, :, 1:, :], below[None, :, None, :]],
+                         axis=2)
+    mid = jnp.concatenate([up, p4, dn], axis=0)          # [10, 8, hb, wb]
+    left = jnp.concatenate([mid[:, 0:1, :, :1], mid[:, 7:8, :, :-1]],
+                           axis=3)
+    right = jnp.concatenate([mid[:, 0:1, :, 1:], mid[:, 7:8, :, -1:]],
+                            axis=3)
+    return jnp.concatenate([left, mid, right], axis=1).reshape(
+        10, 10, hb_loc * wb)
+
+
+# ---------------------------------------------------------------------------
+# Per-component sharded smoothing
+# ---------------------------------------------------------------------------
+
+def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
+                    flags, niter, extra_refresh, luma, tables, row_axis):
+    """Local shard of one component pass — the planar analogue of
+    engine._component_smooth_body with ppermute halo gathers."""
+    from .. import engine as _engine
+
+    B = hb_loc * wb
+    prod = coef16.astype(I32).reshape(B, 64).T * qraw[:, None]  # [64, B]
+    orv = jnp.bitwise_or.reduce((prod + 0x800).ravel())
+    bad_loc = ((orv >> 12) != 0).astype(I32)
+    badv = jax.lax.pmax(bad_loc, row_axis) > 0
+    coef = prod.astype(jnp.int16).astype(I32)
+    coef_dq = coef
+
+    def mkhalo(p):
+        return blocks_halo10_sharded(p, hb_loc, wb, row_axis)
+
+    def mkbord(p):
+        return borders_from_blocks_sharded(p, hb_loc, wb, row_axis)
+
+    pix = None
+    for it in range(niter + extra_refresh):
+        pix = planar.idct_islow_p(coef.reshape(8, 8, B))
+        if it == niter:
+            break
+        coef = _engine.block_pass_p(coef, pix, img2_halo, div, x1, qshr,
+                                    flags, tables, luma, mkhalo, mkbord,
+                                    hb_loc, wb)
+    coef = jnp.where(badv, coef_dq, coef)
+    coef = jnp.clip(coef, -1023, 1023)
+    return coef, pix, badv
 
 
 def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                         extra_refresh=0, luma=True, row_axis="row",
                         batch_axis=None, use_image2=False,
-                        want_interior=False):
-    """Build a jitted sharded component smoother.
+                        want_pix=False):
+    """Build a jitted sharded component smoother on the planar fast path.
 
     Returns fn(coef16, qraw, div, x1, qshr[, image2]) -> (coef, badv)
     where coef16 is int16[(batch,)? hb, wb, 64] sharded
@@ -114,7 +161,8 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     padded-plane pattern, quantsmooth.h:893-920).
 
     The whole niter loop runs inside one jitted program; each iteration
-    does local IDCT -> halo exchange -> local block pass.
+    does local IDCT -> halo exchange -> local block pass, on TPU
+    through the fused Pallas solver kernel per shard.
     """
     n_rows = mesh.shape[row_axis]
     assert hb % n_rows == 0, f"hb={hb} not divisible by {n_rows} row shards"
@@ -126,43 +174,28 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     def local_fn(coef16, qraw, div, x1, qshr, image2, fence):
         # shapes (local): coef16 int16[hb_loc, wb, 64]
         with fp32.fence_token(fence):
-            return _local_fn_body(coef16, qraw, div, x1, qshr, image2)
-
-    def _local_fn_body(coef16, qraw, div, x1, qshr, image2):
-        B = hb_loc * wb
-        prod = coef16.astype(I32).reshape(B, 64) * qraw[None, :]
-        bad_loc = jnp.any(((prod + 0x800) >> 12) != 0)
-        badv = jax.lax.pmax(bad_loc.astype(I32), row_axis) > 0
-        coef = prod.astype(jnp.int16).astype(I32)
-        coef_dq = coef
-
-        img2_padded = None
-        if use_image2 and (flags & JOINT_YUV):
-            img2_padded = _build_padded_local(image2, row_axis)
-
-        interior = None
-        for it in range(niter + extra_refresh):
-            pix = idct_islow(coef.reshape(B, 8, 8))
-            interior = pix.reshape(hb_loc, wb, 8, 8).transpose(
-                0, 2, 1, 3).reshape(hb_loc * 8, wb * 8)
-            padded = _build_padded_local(interior, row_axis)
-            if it == niter:
-                break
-            coef = _local_block_pass(coef, padded, img2_padded, div, x1,
-                                     qshr, flags, tables, luma, hb_loc, wb)
-        coef = jnp.where(badv, coef_dq, coef)
-        coef = jnp.clip(coef, -1023, 1023)
-        if want_interior:
-            return coef.reshape(hb_loc, wb, 64), badv, interior
-        return coef.reshape(hb_loc, wb, 64), badv
+            img2_halo = None
+            if use_image2 and (flags & JOINT_YUV):
+                ds = planar.plane_to_fblocks_p(image2, hb_loc, wb
+                                               ).astype(I32)
+                img2_halo = blocks_halo10_sharded(ds, hb_loc, wb, row_axis)
+            coef, pix, badv = _component_body(
+                coef16, qraw, div, x1, qshr, img2_halo, hb_loc=hb_loc,
+                wb=wb, flags=flags, niter=niter,
+                extra_refresh=extra_refresh, luma=luma, tables=tables,
+                row_axis=row_axis)
+            out = coef.T.reshape(hb_loc, wb, 64)
+            if want_pix:
+                return out, badv, pix
+            return out, badv
 
     img2_spec = P(row_axis, None)
     if batch_axis is None:
         in_specs = (P(row_axis, None, None), P(), P(), P(), P(),
                     img2_spec, P())
         out_specs = (P(row_axis, None, None), P())
-        if want_interior:
-            out_specs = out_specs + (P(row_axis, None),)
+        if want_pix:
+            out_specs = out_specs + (P(None, None, row_axis),)
         fn = local_fn
     else:
         def fn(coef16, qraw, div, x1, qshr, image2, fence):
@@ -172,6 +205,8 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
         in_specs = (P(batch_axis, row_axis, None, None),
                     P(), P(), P(), P(), img2_spec, P())
         out_specs = (P(batch_axis, row_axis, None, None), P(batch_axis))
+        if want_pix:
+            out_specs = out_specs + (P(batch_axis, None, None, row_axis),)
 
     sharded = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs, check_vma=False))
@@ -184,61 +219,130 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     return run
 
 
+# ---------------------------------------------------------------------------
+# Whole-image sharded YCbCr flow (one shard_map program)
+# ---------------------------------------------------------------------------
+
 def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
-                              ws, hs, flags, niter, row_axis="row"):
-    """End-to-end sharded YCbCr smoothing (solver/LQ/JOINT paths —
-    the reference flow quantsmooth.h:2484-2834 minus UPSAMPLE_UV).
+                              ws, hs, flags, niter, row_axis="row",
+                              img_w=None, img_h=None):
+    """End-to-end sharded YCbCr smoothing — the reference flow
+    quantsmooth.h:2484-2849 including UPSAMPLE_UV, as ONE shard_map
+    program over the row axis.
 
-    All three component planes are row-sharded over the mesh; the luma
-    pass also emits its sharded interior pixel rows, which are box-
-    downsampled shard-locally and fed to the chroma JOINT passes with
-    an on-device 1px halo exchange.
+    All three component planes are row-sharded; the luma pass emits
+    its pixel blocks, which are box-downsampled shard-locally and
+    halo-exchanged into the chroma JOINT passes; with UPSAMPLE_UV the
+    full-resolution chroma is regressed shard-locally from the luma
+    pixels (replicate tails are confined to the last block row, hence
+    shard-local — see planar.upsample_chroma_blocks).
 
-    Requires aligned dims (hb_l == hs*hb_c, wb_l == ws*wb_c, standard
-    even-size images) and hb_l, hb_c divisible by the row-axis size;
-    ws, hs in {1, 2}.  Returns
-    fn(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c) -> (y, cb, cr, badv).
+    Requires aligned dims (hb_l == hs*hb_c, wb_l == ws*wb_c) and
+    hb_l, hb_c divisible by the row-axis size; ws, hs in {1, 2}.
+    Returns fn(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c) ->
+    (y, cb, cr, badv, ups) with ups either None or (up_cb, up_cr)
+    int16[hb_l, wb_l, 64] coefficient planes at luma dims.
     """
     assert ws in (1, 2) and hs in (1, 2)
     assert hb_l == hs * hb_c and wb_l == ws * wb_c, "aligned dims only"
     n_rows = mesh.shape[row_axis]
     assert hb_l % n_rows == 0 and hb_c % n_rows == 0
+    hbl_loc, hbc_loc = hb_l // n_rows, hb_c // n_rows
+    if img_w is None:
+        img_w = wb_l * 8
+    if img_h is None:
+        img_h = hb_l * 8
+    do_up = bool(flags & UPSAMPLE_UV) and not (ws == 1 and hs == 1)
+    tables = None
+    if not (flags & LOW_QUALITY):
+        tables = make_solver_tables(flags)
 
-    luma_fn = make_sharded_smooth(
-        mesh, hb=hb_l, wb=wb_l, flags=flags, niter=niter,
-        extra_refresh=1, luma=True, row_axis=row_axis, want_interior=True)
-    chroma_fn = make_sharded_smooth(
-        mesh, hb=hb_c, wb=wb_c, flags=flags, niter=niter,
-        extra_refresh=0, luma=False, row_axis=row_axis, use_image2=True)
+    def upsample_one(pix_c, img2_halo, pix_y, row0):
+        ch_halo = blocks_halo10_sharded(pix_c, hbc_loc, wb_c, row_axis)
+        up = planar.upsample_chroma_blocks(
+            ch_halo, img2_halo, pix_y, img_w, img_h, ws, hs,
+            hbl_loc, wb_l, hbc_loc, wb_c, row0=row0, hb_l_total=hb_l)
+        fb = (up - CENTERJSAMPLE).astype(F)
+        uc = c_f32_to_i32(roundf(
+            planar.fdct_float_p(fb).reshape(64, hbl_loc * wb_l)))
+        return uc.T.astype(jnp.int16).reshape(hbl_loc, wb_l, 64)
 
-    @jax.jit
-    def downsample(interior):
-        # exact 2x2/2x1/1x2 box (quantsmooth.h:2778-2800); a local
-        # stencil, partitioned automatically across the row shards
-        if hs == 2 and ws == 2:
-            a = (interior[0::2, 0::2] + interior[0::2, 1::2]
-                 + interior[1::2, 0::2] + interior[1::2, 1::2])
-            return (a + 2) >> 2
-        if hs == 2:
-            return ((interior[0::2] + interior[1::2]) + 1) >> 1
-        if ws == 2:
-            return ((interior[:, 0::2] + interior[:, 1::2]) + 1) >> 1
-        return interior
+    def local_fn(cy, ccb, ccr, qraw_y, div_y, x1_y, qshr_y,
+                 qraw_c, div_c, x1_c, qshr_c, fence):
+        with fp32.fence_token(fence):
+            dq = [  # plain-dequant fallbacks for stop propagation
+                (c.astype(I32).reshape(-1, 64) * q[None, :]
+                 ).astype(jnp.int16).astype(I32).reshape(c.shape)
+                for c, q in ((cy, qraw_y), (ccb, qraw_c), (ccr, qraw_c))]
+
+            y, pix_y, bad_y = _component_body(
+                cy, qraw_y, div_y, x1_y, qshr_y, None, hb_loc=hbl_loc,
+                wb=wb_l, flags=flags, niter=niter, extra_refresh=1,
+                luma=True, tables=tables, row_axis=row_axis)
+            ds = planar.downsample_blocks(pix_y, hbl_loc, wb_l,
+                                          hbc_loc, wb_c, ws, hs)
+            img2_halo = (blocks_halo10_sharded(ds, hbc_loc, wb_c, row_axis)
+                         if (flags & JOINT_YUV) else None)
+
+            extra_c = 1 if do_up else 0
+            cb, pix_cb, bad_cb = _component_body(
+                ccb, qraw_c, div_c, x1_c, qshr_c, img2_halo,
+                hb_loc=hbc_loc, wb=wb_c, flags=flags, niter=niter,
+                extra_refresh=extra_c, luma=False, tables=tables,
+                row_axis=row_axis)
+            cr, pix_cr, bad_cr = _component_body(
+                ccr, qraw_c, div_c, x1_c, qshr_c, img2_halo,
+                hb_loc=hbc_loc, wb=wb_c, flags=flags, niter=niter,
+                extra_refresh=extra_c, luma=False, tables=tables,
+                row_axis=row_axis)
+
+            # stop propagation (engine._image_smooth_impl): once a
+            # component trips the guard, later components fall back to
+            # plain dequantization
+            outs = []
+            stop = jnp.zeros((), jnp.bool_)
+            for res, bad, d, shape in (
+                    (y, bad_y, dq[0], (hbl_loc, wb_l, 64)),
+                    (cb, bad_cb, dq[1], (hbc_loc, wb_c, 64)),
+                    (cr, bad_cr, dq[2], (hbc_loc, wb_c, 64))):
+                out = res.T.reshape(shape)
+                outs.append(jnp.where(stop, d, out).astype(jnp.int16))
+                stop = stop | bad
+            badv = stop
+
+            if do_up:
+                row0 = jax.lax.axis_index(row_axis) * (hbl_loc * 8)
+                if img2_halo is None:   # UPSAMPLE without JOINT
+                    img2_halo = blocks_halo10_sharded(ds, hbc_loc, wb_c,
+                                                      row_axis)
+                up_cb = upsample_one(pix_cb, img2_halo, pix_y, row0)
+                up_cr = upsample_one(pix_cr, img2_halo, pix_y, row0)
+                return (*outs, badv, up_cb, up_cr)
+            return (*outs, badv)
+
+    out_specs = (P(row_axis, None, None), P(row_axis, None, None),
+                 P(row_axis, None, None), P())
+    if do_up:
+        out_specs = out_specs + (P(row_axis, None, None),
+                                 P(row_axis, None, None))
+    sharded = jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(row_axis, None, None),) * 3 + (P(),) * 9,
+        out_specs=out_specs, check_vma=False))
 
     def run(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c):
         """qtabs_*: (qraw, div, x1, qshr) int32[64] tuples."""
-        y, bad_y, interior = luma_fn(coef_y, *qtabs_y)
-        image2 = downsample(interior)
-        cb, bad_cb = chroma_fn(coef_cb, *qtabs_c, image2)
-        cr, bad_cr = chroma_fn(coef_cr, *qtabs_c, image2)
-        return y, cb, cr, (bad_y, bad_cb, bad_cr)
+        res = sharded(coef_y, coef_cb, coef_cr, *qtabs_y, *qtabs_c,
+                      jnp.int32(0))
+        y, cb, cr, badv = res[:4]
+        ups = (res[4], res[5]) if do_up else None
+        return y, cb, cr, badv, ups
 
     return run
 
 
 def row_sharding(mesh, row_axis="row", batch_axis=None, batched=False):
     """NamedSharding for a coefficient tensor [(N,)? hb, wb, 64]."""
-    from jax.sharding import NamedSharding
     if batched:
         return NamedSharding(mesh, P(batch_axis, row_axis, None, None))
     return NamedSharding(mesh, P(row_axis, None, None))

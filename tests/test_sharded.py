@@ -190,11 +190,84 @@ def test_sharded_ycbcr_end_to_end():
         return tuple(map(jnp.asarray, (qraw, div, x1, qshr)))
 
     sh = row_sharding(mesh)
-    y, cb, cr, bad = fn(jax.device_put(cy, sh), jax.device_put(ccb, sh),
-                        jax.device_put(ccr, sh), tabs(qt_y), tabs(qt_c))
+    y, cb, cr, bad, ups = fn(jax.device_put(cy, sh),
+                             jax.device_put(ccb, sh),
+                             jax.device_put(ccr, sh), tabs(qt_y),
+                             tabs(qt_c))
     assert np.array_equal(np.asarray(y), want.coefs[0])
     assert np.array_equal(np.asarray(cb), want.coefs[1])
     assert np.array_equal(np.asarray(cr), want.coefs[2])
+    assert ups is None
+
+
+@pytest.mark.parametrize("dims", [
+    # (hb_l, wb_l, img pads): even dims, and an odd-height image whose
+    # replicate tails exercise the last-block-row masks
+    (16, 8, 0, 0),
+    (16, 8, 3, 5),
+])
+def test_sharded_ycbcr_q6_upsample(dims):
+    """Sharded q6 (JOINT + UPSAMPLE_UV) == single-device engine,
+    including the full-res chroma coefficient planes."""
+    from jpegqs_tpu.parallel.sharded import make_sharded_ycbcr_smooth
+    from jpegqs_tpu.host.jpegio import JpegImage, ComponentData
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    hb_l, wb_l, pad_h, pad_w = dims
+    ws = hs = 2
+    hb_c, wb_c = hb_l // hs, wb_l // ws
+    img_w, img_h = wb_l * 8 - pad_w, hb_l * 8 - pad_h
+    rng = np.random.default_rng(77)
+    qt_y = np.clip(rng.integers(2, 60, 64), 1, 255).astype(np.uint16)
+    qt_c = np.clip(rng.integers(2, 40, 64), 1, 255).astype(np.uint16)
+
+    def mkcoef(hb, wb, qt, seed):
+        r = np.random.default_rng(seed)
+        cap = 2047 // qt.astype(np.int32)
+        c = r.integers(-40, 41, (hb, wb, 64)) // (1 + np.arange(64) // 8)
+        return np.clip(c, -cap, cap).astype(np.int16)
+
+    cy = mkcoef(hb_l, wb_l, qt_y, 4)
+    ccb = mkcoef(hb_c, wb_c, qt_c, 5)
+    ccr = mkcoef(hb_c, wb_c, qt_c, 6)
+
+    img = JpegImage(width=img_w, height=img_h, jpeg_color_space=3,
+                    progressive=False, max_h_samp_factor=ws,
+                    max_v_samp_factor=hs)
+    for ci, (h, w, sf, qt, co) in enumerate((
+            (hb_l, wb_l, (ws, hs), qt_y, cy),
+            (hb_c, wb_c, (1, 1), qt_c, ccb),
+            (hb_c, wb_c, (1, 1), qt_c, ccr))):
+        img.components.append(ComponentData(
+            component_id=ci, h_samp_factor=sf[0], v_samp_factor=sf[1],
+            quant_tbl_no=0 if ci == 0 else 1, width_in_blocks=w,
+            height_in_blocks=h, quantval=qt, coefs=co.copy()))
+    flags = 4 | 2 | 1   # UPSAMPLE_UV | JOINT_YUV | DIAGONALS
+    want = engine.smooth(img, QsOptions(flags=flags, niter=2))
+    assert want.upsampled is not None
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_ycbcr_smooth(mesh, hb_l=hb_l, wb_l=wb_l, hb_c=hb_c,
+                                   wb_c=wb_c, ws=ws, hs=hs, flags=flags,
+                                   niter=2, img_w=img_w, img_h=img_h)
+
+    def tabs(qt):
+        qraw = qt.astype(np.int32)
+        div, x1, qshr = make_quant_tables(qraw)
+        return tuple(map(jnp.asarray, (qraw, div, x1, qshr)))
+
+    sh = row_sharding(mesh)
+    y, cb, cr, bad, ups = fn(jax.device_put(cy, sh),
+                             jax.device_put(ccb, sh),
+                             jax.device_put(ccr, sh), tabs(qt_y),
+                             tabs(qt_c))
+    assert not bool(bad)
+    assert np.array_equal(np.asarray(y), want.coefs[0])
+    assert np.array_equal(np.asarray(cb), want.coefs[1])
+    assert np.array_equal(np.asarray(cr), want.coefs[2])
+    assert np.array_equal(np.asarray(ups[0]), want.upsampled[0])
+    assert np.array_equal(np.asarray(ups[1]), want.upsampled[1])
 
 
 def test_graft_entry_dryrun():
