@@ -357,8 +357,16 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
     (component sequencing, downsample, JOINT/UPSAMPLE and stop
     propagation all on device); with a callback it falls back to
     per-component dispatches so the host can interleave.
+
+    On a multi-device mesh (len(jax.devices()) > 1) large images are
+    automatically row-sharded across the devices (parallel/sharded.py)
+    — bit-identical output, the TPU equivalent of the reference's
+    OpenMP row loop (quantsmooth.h:2552-2554).
     """
     if opts.progress is None:
+        res = _try_smooth_sharded(img, opts)
+        if res is not None:
+            return res
         return _smooth_fused(img, opts)
     return _smooth_percomp(img, opts)
 
@@ -437,6 +445,157 @@ def prepare_fused(img, opts: QsOptions):
     meta = {"static_stop": static_stop, "prog_index": prog_index,
             "image1_live": image1_live}
     return tuple(prog_inputs), cfg, meta
+
+
+# ---------------------------------------------------------------------------
+# Multi-device auto-sharding
+# ---------------------------------------------------------------------------
+
+_MESH_CACHE = {}
+_SHARD_FN_CACHE = {}
+
+
+def _row_mesh(n_rows):
+    import jax
+    from jax.sharding import Mesh
+    mesh = _MESH_CACHE.get(n_rows)
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:n_rows]), ("row",))
+        _MESH_CACHE[n_rows] = mesh
+    return mesh
+
+
+def _shard_rows(img, opts):
+    """Pick the row-axis size for auto-sharding, or None.
+
+    Conditions: >1 device, image big enough to beat the per-exchange
+    overhead (override threshold with JPEGQS_SHARD_MIN_BLOCKS), every
+    component's block-row count divisible by the chosen size, all
+    quant tables clean (the val<=1 / crafted-file shortcuts keep the
+    single-device path), and sampling factors <= 2.
+    """
+    import os
+    import jax
+
+    ndev = len(jax.devices())
+    if ndev < 2 or opts.niter < 1:
+        return None
+    comps = img.components
+    if not comps:
+        return None
+    min_blocks = int(os.environ.get("JPEGQS_SHARD_MIN_BLOCKS", "16384"))
+    if sum(c.height_in_blocks * c.width_in_blocks for c in comps) \
+            < min_blocks:
+        return None
+    if comps[0].h_samp_factor > 2 or comps[0].v_samp_factor > 2:
+        return None
+    for c in comps:
+        q = np.asarray(c.quantval, np.int32)
+        val = int(np.bitwise_or.reduce(q))
+        if val <= 1 or val >= 0x800:
+            return None
+    r = 0
+    for cand in range(min(ndev, comps[0].height_in_blocks), 1, -1):
+        if all(c.height_in_blocks % cand == 0 for c in comps):
+            r = cand
+            break
+    return r if r >= 2 else None
+
+
+def _try_smooth_sharded(img, opts: QsOptions):
+    """Auto-sharded engine run, or None when it doesn't apply."""
+    from .parallel import sharded as _sh
+
+    r = _shard_rows(img, opts)
+    if r is None:
+        return None
+    comps = img.components
+    flags = opts.flags
+    niter = min(max(opts.niter, 0), ITER_MAX)
+    need_downsample = (
+        bool(flags & (JOINT_YUV | UPSAMPLE_UV)) and img.is_ycbcr
+        and len(comps) >= 3
+        and comps[1].h_samp_factor == 1 and comps[1].v_samp_factor == 1
+        and comps[2].h_samp_factor == 1 and comps[2].v_samp_factor == 1)
+    mesh = _row_mesh(r)
+
+    def tabs(ci):
+        qraw = np.asarray(comps[ci].quantval, np.int32)
+        div, x1, qshr = make_quant_tables(qraw)
+        return tuple(map(jnp.asarray, (qraw, div, x1, qshr)))
+
+    res = SmoothResult()
+    res.coefs = [np.asarray(c.coefs, dtype=np.int16).copy() for c in comps]
+
+    if need_downsample:
+        y, cb, cr = comps[0], comps[1], comps[2]
+        ws, hs = y.h_samp_factor, y.v_samp_factor
+        aligned = (y.height_in_blocks == hs * cb.height_in_blocks
+                   and y.width_in_blocks == ws * cb.width_in_blocks
+                   and cb.height_in_blocks == cr.height_in_blocks
+                   and cb.width_in_blocks == cr.width_in_blocks
+                   and np.array_equal(cb.quantval, cr.quantval))
+        if not aligned or len(comps) != 3:
+            return None
+        key = ("ycbcr", r, y.height_in_blocks, y.width_in_blocks,
+               cb.height_in_blocks, cb.width_in_blocks, ws, hs, flags,
+               niter, img.width, img.height)
+        fn = _SHARD_FN_CACHE.get(key)
+        if fn is None:
+            fn = _sh.make_sharded_ycbcr_smooth(
+                mesh, hb_l=y.height_in_blocks, wb_l=y.width_in_blocks,
+                hb_c=cb.height_in_blocks, wb_c=cb.width_in_blocks,
+                ws=ws, hs=hs, flags=flags, niter=niter,
+                img_w=img.width, img_h=img.height)
+            _SHARD_FN_CACHE[key] = fn
+        sh = _sh.row_sharding(mesh)
+        put = lambda c: jax.device_put(
+            np.asarray(c.coefs, np.int16).reshape(
+                c.height_in_blocks, c.width_in_blocks, 64), sh)
+        oy, ocb, ocr, badv, ups = fn(put(y), put(cb), put(cr),
+                                     tabs(0), tabs(1))
+        res.coefs[0] = np.asarray(oy)
+        res.coefs[1] = np.asarray(ocb)
+        res.coefs[2] = np.asarray(ocr)
+        res.stop = int(bool(badv))
+        if ups is not None and not res.stop:
+            res.upsampled = (np.asarray(ups[0]), np.asarray(ups[1]))
+        return res
+
+    # independent per-component sharding (gray, 4:4:4 without color
+    # features, non-YCbCr multi-component)
+    stop = 0
+    for ci, comp in enumerate(comps):
+        qraw = np.asarray(comp.quantval, np.int32)
+        if not qraw.any():
+            continue
+        hb, wb = comp.height_in_blocks, comp.width_in_blocks
+        if stop:
+            res.coefs[ci] = np.asarray(dequant_fallback_jit(
+                jnp.asarray(res.coefs[ci].reshape(hb * wb, 64)),
+                jnp.asarray(qraw))).reshape(hb, wb, 64)
+            continue
+        luma = (ci == 0) or not img.is_ycbcr
+        key = ("comp", r, hb, wb, flags, niter, luma)
+        fn = _SHARD_FN_CACHE.get(key)
+        if fn is None:
+            fn = _sh.make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags,
+                                         niter=niter, luma=luma)
+            _SHARD_FN_CACHE[key] = fn
+        coef_dev = jax.device_put(
+            np.asarray(comp.coefs, np.int16).reshape(hb, wb, 64),
+            _sh.row_sharding(mesh))
+        qraw_j, div, x1, qshr = tabs(ci)
+        out, badv = fn(coef_dev, qraw_j, div, x1, qshr)
+        if bool(badv):
+            stop = 1
+            res.coefs[ci] = np.asarray(dequant_fallback_jit(
+                jnp.asarray(res.coefs[ci].reshape(hb * wb, 64)),
+                jnp.asarray(qraw))).reshape(hb, wb, 64)
+            continue
+        res.coefs[ci] = np.asarray(out).astype(np.int16)
+    res.stop = stop
+    return res
 
 
 def _smooth_fused(img, opts: QsOptions) -> SmoothResult:

@@ -281,3 +281,30 @@ def test_graft_entry_single():
     fn, args = __graft_entry__.entry()
     out = _jax.jit(fn)(*args)
     assert out.shape == (256, 64)
+
+
+@pytest.mark.parametrize("color,quality", [(False, 3), (True, 5),
+                                           (True, 6), (False, 0)])
+def test_engine_auto_sharding(monkeypatch, color, quality):
+    """engine.smooth auto-routes big images through the sharded path
+    (forced here via JPEGQS_SHARD_MIN_BLOCKS=0) bit-identically."""
+    from util import make_jpeg
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    data = make_jpeg(128, 96, "photo", seed=13, color=color, quality=70)
+    img = jpegio.read_coefficients(data)
+    opts = QsOptions.from_quality(quality, 2)
+
+    want = engine._smooth_fused(img, opts)
+    monkeypatch.setenv("JPEGQS_SHARD_MIN_BLOCKS", "0")
+    got = engine._try_smooth_sharded(img, opts)
+    assert got is not None, "sharded path should apply"
+    for ci in range(len(img.components)):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+    assert (got.upsampled is None) == (want.upsampled is None)
+    if got.upsampled is not None:
+        assert np.array_equal(got.upsampled[0], want.upsampled[0])
+        assert np.array_equal(got.upsampled[1], want.upsampled[1])
+    assert got.stop == want.stop
