@@ -217,6 +217,56 @@ def dequant_fallback_jit(coef16, qraw):
 
 
 # ---------------------------------------------------------------------------
+# Iteration-granular stages (the progress-callback path)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _dequant_stage(coef16, qraw):
+    """Iter-0 dequantization with the crafted-file guard
+    (quantsmooth.h:2596-2610).  Returns planar coef int32[64, B], badv."""
+    prod = coef16.astype(I32).T * qraw[:, None]
+    orv = jnp.bitwise_or.reduce((prod + 0x800).ravel())
+    return _int16_wrap(prod), (orv >> 12) != 0
+
+
+@partial(jax.jit, static_argnames=("hb", "wb"))
+def _halo10_jit(padded, *, hb, wb):
+    return planar.padded_plane_to_halo10(padded, hb, wb)
+
+
+@partial(jax.jit, static_argnames=("hb", "wb", "flags", "luma",
+                                   "use_image2"))
+def _iter_stage_impl(coef, image2, div, x1, qshr, fence, *, hb, wb, flags,
+                     luma, use_image2):
+    """One smoothing iteration (IDCT refresh + block pass) as its own
+    device program, so the host can interleave progress callbacks at
+    the reference's cadence (quantsmooth.h:2580-2665)."""
+    with fp32.fence_token(fence):
+        B = hb * wb
+        tables = None
+        if not (flags & LOW_QUALITY):
+            tables = make_solver_tables(flags)
+        pix = planar.idct_islow_p(coef.reshape(8, 8, B))
+        img2 = image2 if use_image2 else None
+        return _block_pass_p(coef, pix, img2, div, x1, qshr, flags,
+                             tables, luma, hb, wb)
+
+
+@partial(jax.jit, static_argnames=("hb", "wb", "want_plane"))
+def _final_stage_impl(coef, badv, coef_dq, fence, *, hb, wb, want_plane):
+    """Final clamp (+ optional plane for the color paths) after the
+    iteration loop (quantsmooth.h:2668-2689)."""
+    with fp32.fence_token(fence):
+        if want_plane:
+            pix = planar.idct_islow_p(coef.reshape(8, 8, hb * wb))
+            padded = planar.pix_to_plane(pix, hb, wb)
+        else:
+            padded = jnp.zeros((1, 1), dtype=I32)
+        coef = jnp.where(badv, coef_dq, coef)
+        return jnp.clip(coef, -1023, 1023).T, padded
+
+
+# ---------------------------------------------------------------------------
 # Whole-image program: all components in one device dispatch
 # ---------------------------------------------------------------------------
 
@@ -635,6 +685,10 @@ def _smooth_fused(img, opts: QsOptions) -> SmoothResult:
 
 
 def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
+    """Progress-callback path: one device program per iteration, with
+    the reference's exact progress accounting (quantsmooth.h:2474-2482
+    init, 2652-2663 per-iteration update; ``progprec`` semantics from
+    libjpegqs.h:42-44: 0 -> 20 steps, <0 -> max resolution)."""
     res = SmoothResult()
     comps = img.components
     res.coefs = [np.asarray(c.coefs, dtype=np.int16).copy() for c in comps]
@@ -652,18 +706,30 @@ def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
     stop = 0
     image1 = None   # full-res luma padded plane (UPSAMPLE_UV)
     image2 = None   # downsampled luma padded plane (JOINT_YUV)
+    image2_halo = None
     up_planes = {}
     flags = opts.flags
-    ncomps = len(comps)
 
-    def report_progress(cur):
-        """Host callback between device steps (reference progress
-        plumbing: libjpegqs.h:43-44, quantsmooth.h:2632-2665).  A
-        truthy return cancels — remaining components fall back to
-        plain dequantization, keeping the output valid."""
-        if opts.progress is None:
+    # progress accounting (quantsmooth.h:2474-2482)
+    prog_cur = 0
+    prog_max = sum(c.height_in_blocks * c.v_samp_factor * num_iter
+                   for c in comps)
+    prog_prec = opts.progprec
+    if prog_prec == 0:
+        prog_prec = 20
+    if prog_prec < 0:
+        prog_prec = prog_max
+    prog_thr = (prog_max + prog_prec - 1) // prog_prec if prog_max else 0
+
+    def report_progress():
+        """Threshold-gated callback, reference formula
+        (quantsmooth.h:2652-2663).  Truthy return cancels."""
+        nonlocal prog_thr
+        if opts.progress is None or prog_cur < prog_thr:
             return 0
-        return 1 if opts.progress(opts.userdata, cur, ncomps) else 0
+        cur = prog_prec * prog_cur // prog_max
+        prog_thr = ((cur + 1) * prog_max + prog_prec - 1) // prog_prec
+        return 1 if opts.progress(opts.userdata, cur, prog_prec) else 0
 
     for ci, comp in enumerate(comps):
         qraw = np.asarray(comp.quantval, dtype=np.int32)
@@ -690,23 +756,34 @@ def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
                 dequant_fallback_jit(coef16, qraw_j)).reshape(hb, wb, 64)
             continue
 
-        div, x1, qshr = make_quant_tables(qraw)
+        div, x1, qshr = (jnp.asarray(a) for a in make_quant_tables(qraw))
         luma = (ci == 0) or not img.is_ycbcr
-        use_image2 = image2 is not None
-        img2_arg = image2 if use_image2 else jnp.zeros((1, 1), dtype=I32)
+        use_image2 = image2 is not None and bool(flags & JOINT_YUV)
+        if use_image2 and image2_halo is None:
+            image2_halo = _halo10_jit(image2, hb=hb, wb=wb)
+        img2_arg = image2_halo if use_image2 else jnp.zeros(
+            (1, 1, 1), dtype=I32)
         want_plane = (image1 is not None
                       or (ci == 0 and need_downsample))
 
-        coef, padded, badv = component_smooth(
-            coef16, qraw_j, jnp.asarray(div), jnp.asarray(x1),
-            jnp.asarray(qshr), img2_arg, hb=hb, wb=wb, flags=flags,
-            niter=num_iter2, extra_refresh=extra_refresh, luma=luma,
-            use_image2=use_image2, want_plane=want_plane)
-        res.coefs[ci] = np.asarray(coef.astype(jnp.int16)).reshape(hb, wb, 64)
-        if bool(badv):
-            stop = 1
-            continue
-        if report_progress(ci + 1):
+        fence = jnp.int32(0)
+        coef, badv = _dequant_stage(coef16, qraw_j)
+        coef_dq = coef
+        canceled = False
+        for it in range(num_iter2):
+            coef = _iter_stage_impl(coef, img2_arg, div, x1, qshr, fence,
+                                    hb=hb, wb=wb, flags=flags, luma=luma,
+                                    use_image2=use_image2)
+            prog_cur += hb * comp.v_samp_factor
+            if report_progress():
+                canceled = True
+                break
+        out, padded = _final_stage_impl(
+            coef, badv, coef_dq, fence, hb=hb, wb=wb,
+            want_plane=want_plane and not canceled)
+        res.coefs[ci] = np.asarray(out.astype(jnp.int16)).reshape(
+            hb, wb, 64)
+        if canceled or bool(badv):
             stop = 1
             continue
 

@@ -9,7 +9,11 @@ from jpegqs_tpu.options import QsOptions
 from util import make_jpeg, run_reference, coef_arrays
 
 
-def test_progress_callback_called_per_component():
+def test_progress_callback_reference_cadence():
+    """The callback fires with the reference's threshold-gated (cur,
+    prog_prec) values (quantsmooth.h:2474-2482, 2652-2663); default
+    progprec=0 means a 20-step scale.  The exact trace parity against
+    the reference binary is pinned in tests/test_progress.py."""
     data = make_jpeg(48, 48, "photo", seed=2, color=True, quality=70,
                      subsamp=1)
     img = jpegio.read_coefficients(data)
@@ -18,23 +22,25 @@ def test_progress_callback_called_per_component():
                                   progress=lambda u, cur, n:
                                   calls.append((u, cur, n)) and 0)
     engine.smooth(img, opts)
-    assert calls == [("tok", 1, 3), ("tok", 2, 3), ("tok", 3, 3)]
+    assert calls[0][0] == "tok"
+    assert all(n == 20 for _, _, n in calls)
+    assert [c for _, c, _ in calls] == [4, 8, 13, 14, 15, 16, 17, 18, 20]
 
 
 def test_progress_cancel_gives_valid_output():
-    """Cancel after component 1: remaining components fall back to
-    plain dequantization (reference cancel semantics,
-    quantsmooth.h:2647-2664)."""
+    """Cancel at the first callback: the current component keeps its
+    completed iterations, remaining components fall back to plain
+    dequantization (reference cancel semantics, quantsmooth.h:2663)."""
     data = make_jpeg(48, 48, "photo", seed=2, color=True, quality=70,
                      subsamp=1)
     img = jpegio.read_coefficients(data)
     opts = QsOptions.from_quality(3, 3,
-                                  progress=lambda u, cur, n: cur >= 1)
+                                  progress=lambda u, cur, n: 1)
     res = engine.smooth(img, opts)
     assert res.stop == 1
-    # comp 0 fully smoothed
-    full = engine.smooth(img, QsOptions.from_quality(3, 3))
-    assert np.array_equal(res.coefs[0], full.coefs[0])
+    # comp 0 canceled after its first iteration == 1-iter run
+    one = engine.smooth(img, QsOptions.from_quality(3, 1))
+    assert np.array_equal(res.coefs[0], one.coefs[0])
     # comps 1,2 = dequantized only
     for ci in (1, 2):
         c = img.components[ci]

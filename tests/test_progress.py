@@ -1,0 +1,97 @@
+"""Progress-callback semantics vs the reference, differentially.
+
+The oracle is ``.ref/progress_harness`` — the reference do_quantsmooth
+driven with a printing progress callback (tools/progress_harness.c).
+Pins the exact (cur, max) sequences of quantsmooth.h:2474-2482 +
+2652-2663 and the ``progprec`` semantics of libjpegqs.h:42-44.
+"""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from util import REPO, ensure_reference, make_jpeg
+
+from jpegqs_tpu import engine
+from jpegqs_tpu.host import jpegio
+from jpegqs_tpu.options import QsOptions
+
+HARNESS = os.path.join(REPO, ".ref", "progress_harness")
+
+
+def ref_trace(data: bytes, flags: int, niter: int, progprec: int,
+              cancel_after: int = 0):
+    ensure_reference()
+    with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+        f.write(data)
+        f.flush()
+        r = subprocess.run(
+            [HARNESS, f.name, str(flags), str(niter), str(progprec),
+             str(cancel_after)],
+            capture_output=True, text=True, check=True)
+    out = []
+    for line in r.stdout.splitlines():
+        if line.startswith("P "):
+            _, cur, mx = line.split()
+            out.append((int(cur), int(mx)))
+    return out
+
+
+def our_trace(data: bytes, flags: int, niter: int, progprec: int,
+              cancel_after: int = 0):
+    img = jpegio.read_coefficients(data)
+    calls = []
+
+    def cb(userdata, cur, mx):
+        calls.append((cur, mx))
+        return cancel_after and len(calls) >= cancel_after
+
+    engine.smooth(img, QsOptions(flags=flags, niter=niter,
+                                 progprec=progprec, progress=cb))
+    return calls
+
+
+@pytest.mark.parametrize("flags,niter,progprec", [
+    (3, 3, 0),      # default precision (20)
+    (1, 3, 0),
+    (1, 2, 5),      # coarse
+    (3, 1, 100),    # finer than the iteration count can deliver
+    (1, 3, -1),     # max resolution
+])
+def test_progress_trace_matches_reference(flags, niter, progprec):
+    data = make_jpeg(120, 112, "photo", seed=6, color=True, quality=70,
+                     subsamp=1)
+    assert our_trace(data, flags, niter, progprec) == \
+        ref_trace(data, flags, niter, progprec)
+
+
+def test_progress_trace_gray():
+    data = make_jpeg(96, 104, "photo", seed=8, quality=75)
+    assert our_trace(data, 1, 3, 0) == ref_trace(data, 1, 3, 0)
+
+
+def test_progress_cancel_trace_and_output():
+    """Cancel at the first callback: same truncated trace, the current
+    component keeps its completed iterations, later components are
+    dequant-only (quantsmooth.h:2663-2665 break + 2551-2566)."""
+    data = make_jpeg(120, 112, "photo", seed=6, color=True, quality=70,
+                     subsamp=1)
+    assert our_trace(data, 3, 3, 0, cancel_after=1) == \
+        ref_trace(data, 3, 3, 0, cancel_after=1)
+
+    img = jpegio.read_coefficients(data)
+    res = engine.smooth(img, QsOptions(
+        flags=3, niter=3, progress=lambda u, c, m: 1))
+    assert res.stop == 1
+    # luma: canceled after iteration 1 == a clean 1-iteration run
+    one = engine.smooth(img, QsOptions(flags=3, niter=1))
+    assert np.array_equal(res.coefs[0], one.coefs[0])
+    # chroma: dequantized only
+    for ci in (1, 2):
+        c = img.components[ci]
+        dq = (c.coefs.astype(np.int32)
+              * c.quantval.astype(np.int32)[None, None, :]).astype(np.int16)
+        assert np.array_equal(res.coefs[ci], dq)

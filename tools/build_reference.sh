@@ -14,4 +14,8 @@ fi
 if [ ! -x "$OUT/jpegqs_native" ] || [ "$REF/quantsmooth.h" -nt "$OUT/jpegqs_native" ]; then
   gcc $CFLAGS -march=native -mtune=native -DAPPNAME=jpegqs_native -o "$OUT/jpegqs_native" "$REF/quantsmooth.c" -ljpeg -lm
 fi
+HARNESS="$(dirname "$0")/progress_harness.c"
+if [ ! -x "$OUT/progress_harness" ] || [ "$HARNESS" -nt "$OUT/progress_harness" ]; then
+  gcc $CFLAGS -DNO_SIMD -DQS_HEADER="\"$REF/quantsmooth.h\"" -o "$OUT/progress_harness" "$HARNESS" -ljpeg -lm
+fi
 echo "reference oracles built in $OUT"
