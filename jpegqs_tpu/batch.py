@@ -1,10 +1,13 @@
 """Batch engine: many-image throughput (SURVEY.md §7 step 6).
 
-Three mechanisms, composable:
+Mechanisms, composable:
 
-- ``smooth_many``: a threaded host pipeline over whole JPEGs.  Entropy
-  decode/encode (C, GIL-released) and device transfers of image i+-1
-  overlap image i's device compute.  Works for any mix of inputs.
+- ``smooth_corpus`` / ``smooth_many``: the corpus pipeline.  Decodes
+  on a thread pool, buckets images by (geometry, quant-table)
+  signature, runs each bucket as ONE batched device program (bounded
+  dispatch window keeps the device queue full), and re-encodes on the
+  pool while later buckets compute — a real decode -> upload ->
+  compute -> encode pipeline over a mixed corpus.
 
 - ``smooth_plane_batch``: device batching for N same-shape gray planes
   sharing a quant table: one program over N*B blocks.
@@ -40,22 +43,118 @@ F = jnp.float32
 I32 = jnp.int32
 
 
+def _img_sig(img):
+    """Bucket signature: everything that selects a compiled config."""
+    return (img.width, img.height, img.jpeg_color_space,
+            tuple((c.h_samp_factor, c.v_samp_factor,
+                   c.width_in_blocks, c.height_in_blocks,
+                   c.quantval.tobytes()) for c in img.components))
+
+
+def smooth_corpus(datas, opts: QsOptions = None, workers: int = 8,
+                  optimize: bool = False, copy_markers: int = 2,
+                  max_batch: int = 16, window: int = 4):
+    """Smooth a mixed corpus of JPEG byte strings; outputs in order.
+
+    The pipeline (SURVEY.md §7 step 6): entropy decode on a thread
+    pool; bucket by (geometry, qtables) signature; each bucket runs as
+    batched whole-image device programs of up to ``max_batch`` images,
+    with up to ``window`` programs in flight on the device queue while
+    finished batches re-encode on the pool.  Unbatchable leftovers
+    (bucket of one, exotic sampling, progress callback) fall back to
+    the per-image engine between batch programs.
+    """
+    from . import engine
+    from .host.jpegio import JpegCoefFile
+
+    if opts is None:
+        opts = QsOptions.from_quality(3, 3)
+    n = len(datas)
+    if n == 0:
+        return []
+    outs = [None] * n
+    errors = [None] * n
+
+    with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+        def open_read(i):
+            try:
+                f = JpegCoefFile(datas[i], copy_markers=copy_markers)
+                return f, f.read()
+            except Exception as e:            # keep pipeline order
+                return None, e
+
+        decoded = list(ex.map(open_read, range(n)))
+        files = [d[0] for d in decoded]
+        imgs = [d[1] for d in decoded]
+
+        buckets = {}
+        for i in range(n):
+            if files[i] is None:
+                errors[i] = imgs[i]
+                continue
+            buckets.setdefault(_img_sig(imgs[i]), []).append(i)
+
+        # build the dispatch plan: large buckets first keep the device
+        # busiest while small/odd ones trickle through the fallback
+        plan = []
+        for idxs in sorted(buckets.values(), key=len, reverse=True):
+            comp0 = imgs[idxs[0]].components[0]
+            batchable = (len(idxs) > 1 and opts.progress is None
+                         and comp0.h_samp_factor <= 2
+                         and comp0.v_samp_factor <= 2)
+            if batchable:
+                for c0 in range(0, len(idxs), max_batch):
+                    plan.append(idxs[c0:c0 + max_batch])
+            else:
+                plan.extend([i] for i in idxs)
+
+        def encode_one(i, res):
+            f = files[i]
+            for ci in range(len(imgs[i].components)):
+                f.write_coefs(ci, res.coefs[ci])
+            if res.upsampled is not None:
+                f.set_upsampled(res.upsampled[0], res.upsampled[1])
+            out = f.save(optimize=optimize)
+            f.close()
+            return out
+
+        enc_futs = []
+        inflight = []   # (chunk, assemble) dispatched, not yet drained
+
+        def drain_one():
+            chunk, asm = inflight.pop(0)
+            results = (asm() if asm is not None
+                       else [engine.smooth(imgs[i], opts) for i in chunk])
+            for i, res in zip(chunk, results):
+                enc_futs.append((i, ex.submit(encode_one, i, res)))
+
+        for chunk in plan:
+            asm = None
+            if len(chunk) > 1:
+                asm = _batch_dispatch([imgs[i] for i in chunk], opts)
+            inflight.append((chunk, asm))
+            while len(inflight) > window:
+                drain_one()
+        while inflight:
+            drain_one()
+
+        for i, fut in enc_futs:
+            outs[i] = fut.result()
+
+    for i, err in enumerate(errors):
+        if err is not None:
+            raise err
+    return outs
+
+
 def smooth_many(datas, opts: QsOptions = None, workers: int = 4,
                 optimize: bool = False):
     """Smooth a list of JPEG byte strings; returns outputs in order.
 
-    Host-side entropy codec work and device transfers pipeline across
-    the thread pool while the device crunches.
+    Alias for the corpus pipeline (decode -> bucketed batch programs ->
+    encode, overlapped); see ``smooth_corpus`` for the knobs.
     """
-    from .engine import smooth_jpeg_bytes
-
-    if opts is None:
-        opts = QsOptions.from_quality(3, 3)
-    if workers <= 1 or len(datas) <= 1:
-        return [smooth_jpeg_bytes(d, opts, optimize) for d in datas]
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(
-            lambda d: smooth_jpeg_bytes(d, opts, optimize), datas))
+    return smooth_corpus(datas, opts, workers=workers, optimize=optimize)
 
 
 # ---------------------------------------------------------------------------
@@ -250,43 +349,25 @@ class _BCfg:
         return isinstance(other, _BCfg) and self._key() == other._key()
 
 
-def smooth_image_batch(imgs, opts: QsOptions = None):
-    """Smooth N decoded images with identical geometry/quant tables in
-    one device program.  Returns a list of engine.SmoothResult.
+def _batch_dispatch(imgs, opts: QsOptions):
+    """Dispatch one uniform batch asynchronously.
 
-    All images must share component shapes, sampling factors and quant
-    tables (the bucketed-corpus case); sampling factors must be <= 2.
-    Falls back to per-image smoothing when the batch is not uniform.
+    Returns ``assemble() -> [SmoothResult]`` (blocks on the device
+    results when called), or None when the batch can't run as one
+    program (the caller falls back to per-image smoothing).  The
+    device program is already enqueued when this returns — callers can
+    keep dispatching while earlier batches compute.
     """
     from . import engine
 
-    if opts is None:
-        opts = QsOptions.from_quality(3, 3)
-    if not imgs:
-        return []
-
-    def sig(img):
-        return (img.width, img.height, img.jpeg_color_space,
-                tuple((c.h_samp_factor, c.v_samp_factor,
-                       c.width_in_blocks, c.height_in_blocks,
-                       c.quantval.tobytes()) for c in img.components))
-
     first = imgs[0]
-    uniform = (all(sig(im) == sig(first) for im in imgs[1:])
-               and first.components[0].h_samp_factor <= 2
-               and first.components[0].v_samp_factor <= 2
-               and opts.progress is None)
-    if not uniform or len(imgs) == 1:
-        return [engine.smooth(im, opts) for im in imgs]
-
     prep = engine.prepare_fused(first, opts)
     if prep is None:
-        return [engine.smooth(im, opts) for im in imgs]
+        return None
     _, cfg0, meta = prep
-    n = len(imgs)
-
     if cfg0.need_downsample and not cfg0.ds_blocks:
-        return [engine.smooth(im, opts) for im in imgs]
+        return None
+    n = len(imgs)
     cfg = _BCfg(cfg0, n)
     prog_index = meta["prog_index"]
 
@@ -305,26 +386,59 @@ def smooth_image_batch(imgs, opts: QsOptions = None):
 
     outs, badvs, ups = _image_batch_impl(tuple(inputs), jnp.zeros((), I32),
                                          cfg=cfg)
-    static_stop = meta["static_stop"]
-    image1_live = meta["image1_live"]
-    outs_np = [np.asarray(o) for o in outs]
-    badv_np = (np.stack([np.asarray(b) for b in badvs], axis=0).any(axis=0)
-               if badvs else np.zeros(n, bool))
-    up1 = np.asarray(ups[str(prog_index.get(1))]) if (
-        image1_live and str(prog_index.get(1)) in ups) else None
-    up2 = np.asarray(ups[str(prog_index.get(2))]) if (
-        image1_live and str(prog_index.get(2)) in ups) else None
 
-    results = []
-    for i, im in enumerate(imgs):
-        res = engine.SmoothResult()
-        res.coefs = [np.asarray(c.coefs, np.int16).copy()
-                     for c in im.components]
-        for ci, pi in prog_index.items():
-            cc = cfg.comps[pi]
-            res.coefs[ci] = outs_np[pi][i].reshape(cc.hb, cc.wb, 64)
-        res.stop = 1 if (static_stop or badv_np[i]) else 0
-        if not res.stop and up1 is not None and up2 is not None:
-            res.upsampled = (up1[i], up2[i])
-        results.append(res)
-    return results
+    def assemble():
+        static_stop = meta["static_stop"]
+        image1_live = meta["image1_live"]
+        outs_np = [np.asarray(o) for o in outs]
+        badv_np = (np.stack([np.asarray(b) for b in badvs],
+                            axis=0).any(axis=0)
+                   if badvs else np.zeros(n, bool))
+        up1 = np.asarray(ups[str(prog_index.get(1))]) if (
+            image1_live and str(prog_index.get(1)) in ups) else None
+        up2 = np.asarray(ups[str(prog_index.get(2))]) if (
+            image1_live and str(prog_index.get(2)) in ups) else None
+
+        results = []
+        for i, im in enumerate(imgs):
+            res = engine.SmoothResult()
+            res.coefs = [np.asarray(c.coefs, np.int16).copy()
+                         for c in im.components]
+            for ci, pi in prog_index.items():
+                cc = cfg.comps[pi]
+                res.coefs[ci] = outs_np[pi][i].reshape(cc.hb, cc.wb, 64)
+            res.stop = 1 if (static_stop or badv_np[i]) else 0
+            if not res.stop and up1 is not None and up2 is not None:
+                res.upsampled = (up1[i], up2[i])
+            results.append(res)
+        return results
+
+    return assemble
+
+
+def smooth_image_batch(imgs, opts: QsOptions = None):
+    """Smooth N decoded images with identical geometry/quant tables in
+    one device program.  Returns a list of engine.SmoothResult.
+
+    All images must share component shapes, sampling factors and quant
+    tables (the bucketed-corpus case); sampling factors must be <= 2.
+    Falls back to per-image smoothing when the batch is not uniform.
+    """
+    from . import engine
+
+    if opts is None:
+        opts = QsOptions.from_quality(3, 3)
+    if not imgs:
+        return []
+
+    first = imgs[0]
+    uniform = (all(_img_sig(im) == _img_sig(first) for im in imgs[1:])
+               and first.components[0].h_samp_factor <= 2
+               and first.components[0].v_samp_factor <= 2
+               and opts.progress is None)
+    assemble = None
+    if uniform and len(imgs) > 1:
+        assemble = _batch_dispatch(imgs, opts)
+    if assemble is None:
+        return [engine.smooth(im, opts) for im in imgs]
+    return assemble()

@@ -74,3 +74,31 @@ def test_image_batch_nonuniform_fallback():
         want = engine.smooth(im, opts)
         for ci in range(3):
             assert np.array_equal(got[i].coefs[ci], want.coefs[ci])
+
+
+@pytest.mark.parametrize("quality", [3, 6])
+def test_smooth_corpus_mixed_buckets(quality):
+    """Mixed-size/quality corpus: bucketed batch programs + fallback
+    singles produce byte-identical output to sequential processing."""
+    datas = []
+    for s in range(3):   # bucket A: same geometry + qtables
+        datas.append(make_jpeg(48, 48, "photo", seed=s, quality=70))
+    for s in range(3):   # bucket B: color 4:2:0
+        datas.append(make_jpeg(64, 48, "photo", seed=10 + s, color=True,
+                               quality=60, subsamp=1))
+    # singletons: odd size, different qtable, 4:4:4
+    datas.append(make_jpeg(40, 56, "edges", seed=20, quality=85))
+    datas.append(make_jpeg(48, 48, "photo", seed=21, quality=50))
+    datas.append(make_jpeg(48, 48, "flat", seed=22, color=True,
+                           quality=70, subsamp=0))
+    opts = QsOptions.from_quality(quality, 2)
+    seq = [engine.smooth_jpeg_bytes(d, opts) for d in datas]
+    got = batch.smooth_corpus(datas, opts, workers=4, max_batch=2,
+                              window=2)
+    assert got == seq
+
+
+def test_smooth_corpus_decode_error():
+    datas = [make_jpeg(48, 48, "photo", seed=1, quality=70), b"garbage"]
+    with pytest.raises(ValueError):
+        batch.smooth_corpus(datas, QsOptions.from_quality(3, 1))

@@ -56,6 +56,27 @@ def main():
     print(f"smooth_image_batch (1 program, decode excluded): {bt:.2f}s -> "
           f"{n / bt:.2f} images/s, {mp / bt:.1f} MP/s")
 
+    # mixed corpus: bucketed pipeline vs strict per-image sequential
+    from jpegqs_tpu import smooth_jpeg_bytes
+    mixed = []
+    for s in range(n):
+        hh, ww = (1024, 1024) if s % 3 else (768, 1280)
+        mixed.append(make_jpeg(hh, ww, "photo", seed=s, color=s % 2 == 0,
+                               quality=70 if s % 3 else 60))
+    mmp = sum((1024 * 1024 if s % 3 else 768 * 1280)
+              for s in range(n)) / 1e6
+    smooth_many(mixed[:4], opts, workers=workers)  # warm all bucket cfgs
+    t0 = time.perf_counter()
+    smooth_many(mixed, opts, workers=workers)
+    mt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for d in mixed:
+        smooth_jpeg_bytes(d, opts)
+    st = time.perf_counter() - t0
+    print(f"mixed corpus ({n} imgs, {mmp:.0f} MP): pipeline {mt:.2f}s "
+          f"({mmp / mt:.1f} MP/s) vs per-image {st:.2f}s "
+          f"({mmp / st:.1f} MP/s) -> {st / mt:.2f}x")
+
     ref = os.path.join(REPO, ".ref", "jpegqs_native")
     if os.path.exists(ref):
         with tempfile.TemporaryDirectory() as d:
