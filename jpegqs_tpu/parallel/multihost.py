@@ -1,0 +1,177 @@
+"""Multi-host execution: jax.distributed plumbing + global-mesh runs.
+
+The reference has no multi-machine story at all — OpenMP shared memory
+is its whole parallel stack (quantsmooth.h:2552-2554).  Here the
+framework scales out the TPU-native way (SURVEY.md §5):
+
+- ``initialize`` wires the process into a ``jax.distributed`` job
+  (coordinator + process id), after which ``jax.devices()`` spans all
+  hosts.
+- ``smooth_jpeg_distributed``: ONE image row-sharded over every device
+  in the job — the halo ppermutes ride ICI within a slice and DCN
+  across hosts, sitting exactly where the reference has its OpenMP
+  barrier.  Every process parses the same JPEG bytes and receives the
+  full result (allgathered), so any process can re-encode.
+- ``smooth_batch_distributed``: per-host image batches on a
+  ('data', 'row') mesh — batch DP across hosts on DCN (no cross-image
+  communication), row sharding within each host's devices on ICI.
+
+Bit-exactness: the sharded compute path is parallel/sharded.py, which
+is bit-identical to the single-device engine; tests/test_multihost.py
+proves it across real separate processes (2 x 4 CPU devices).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..options import QsOptions, ITER_MAX, JOINT_YUV, UPSAMPLE_UV
+from ..ops.quant import make_quant_tables
+from . import sharded as _sh
+
+
+def initialize(coordinator_address=None, num_processes=None,
+               process_id=None, **kw):
+    """Join (or start) a jax.distributed job.
+
+    On TPU pods the arguments are auto-detected from the environment;
+    on CPU/GPU fleets pass coordinator ("host:port"), process count
+    and id explicitly — see tools/run_multihost.py for a launcher.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kw)
+
+
+def global_row_mesh():
+    """A 1-D ('row',) mesh over every device in the job."""
+    return Mesh(np.array(jax.devices()), ("row",))
+
+
+def data_row_mesh():
+    """A ('data', 'row') mesh: hosts x local devices.  Batch DP rides
+    DCN (no per-step communication), halo exchange rides ICI."""
+    devs = jax.devices()
+    nproc = jax.process_count()
+    per = len(devs) // nproc
+    arr = np.array(devs).reshape(nproc, per)
+    return Mesh(arr, ("data", "row"))
+
+
+def _make_global(arr_np, mesh, spec):
+    """Build a global jax.Array from identical host data on every
+    process (each process materializes only its addressable shards)."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr_np.shape, sharding, lambda idx: arr_np[idx])
+
+
+def _gather(x):
+    """Allgather a sharded result to an identical np array everywhere."""
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
+    """Smooth one JPEG across every device of the distributed job.
+
+    Every process calls this with the same bytes; returns
+    (SmoothResult, img) with full (allgathered) coefficient planes on
+    every process.  Component block-rows must divide the global device
+    count (the huge-pano case this exists for always does).
+    """
+    from ..host.jpegio import read_coefficients
+    from .. import engine
+
+    if opts is None:
+        opts = QsOptions.from_quality(3, 3)
+    img = read_coefficients(data)
+    comps = img.components
+    mesh = global_row_mesh()
+    n_rows = mesh.shape["row"]
+    niter = min(max(opts.niter, 0), ITER_MAX)
+    flags = opts.flags
+
+    res = engine.SmoothResult()
+    res.coefs = [np.asarray(c.coefs, np.int16).copy() for c in comps]
+
+    def tabs(ci):
+        qraw = np.asarray(comps[ci].quantval, np.int32)
+        div, x1, qshr = make_quant_tables(qraw)
+        return tuple(map(jnp.asarray, (qraw, div, x1, qshr)))
+
+    need_downsample = (
+        bool(flags & (JOINT_YUV | UPSAMPLE_UV)) and img.is_ycbcr
+        and len(comps) >= 3
+        and all(comps[i].h_samp_factor == 1 and comps[i].v_samp_factor == 1
+                for i in (1, 2)))
+
+    spec = P("row", None, None)
+    if need_downsample and len(comps) == 3:
+        y, cb = comps[0], comps[1]
+        fn = _sh.make_sharded_ycbcr_smooth(
+            mesh, hb_l=y.height_in_blocks, wb_l=y.width_in_blocks,
+            hb_c=cb.height_in_blocks, wb_c=cb.width_in_blocks,
+            ws=y.h_samp_factor, hs=y.v_samp_factor, flags=flags,
+            niter=niter, img_w=img.width, img_h=img.height)
+        ins = [_make_global(np.asarray(c.coefs, np.int16), mesh, spec)
+               for c in comps]
+        oy, ocb, ocr, badv, ups = fn(ins[0], ins[1], ins[2],
+                                     tabs(0), tabs(1))
+        res.coefs[0] = _gather(oy)
+        res.coefs[1] = _gather(ocb)
+        res.coefs[2] = _gather(ocr)
+        res.stop = int(bool(np.asarray(_gather(badv)).ravel()[0]))
+        if ups is not None and not res.stop:
+            res.upsampled = (_gather(ups[0]), _gather(ups[1]))
+        return res, img
+
+    for ci, comp in enumerate(comps):
+        qraw = np.asarray(comp.quantval, np.int32)
+        if not qraw.any():
+            continue
+        hb, wb = comp.height_in_blocks, comp.width_in_blocks
+        assert hb % n_rows == 0, \
+            f"comp {ci}: {hb} block rows not divisible by {n_rows} devices"
+        fn = _sh.make_sharded_smooth(
+            mesh, hb=hb, wb=wb, flags=flags, niter=niter,
+            luma=(ci == 0) or not img.is_ycbcr)
+        coef = _make_global(np.asarray(comp.coefs, np.int16), mesh, spec)
+        qraw_j, div, x1, qshr = tabs(ci)
+        out, badv = fn(coef, qraw_j, div, x1, qshr)
+        res.coefs[ci] = _gather(out).astype(np.int16)
+        if bool(np.asarray(_gather(badv)).ravel()[0]):
+            res.stop = 1
+    return res, img
+
+
+def smooth_batch_distributed(coefs_local, qtbl, flags, niter,
+                             luma=True):
+    """Per-host image batches on the ('data', 'row') mesh.
+
+    Each process passes its LOCAL batch coefs int16[n_loc, hb, wb, 64]
+    (same shape/qtable everywhere — the bucketed-corpus contract).
+    Returns this process's local results int16[n_loc, hb, wb, 64]:
+    batch DP across hosts needs no gather.
+    """
+    from jax.experimental import multihost_utils
+
+    mesh = data_row_mesh()
+    coefs_local = np.ascontiguousarray(coefs_local, np.int16)
+    n_loc, hb, wb, _ = coefs_local.shape
+    qraw = np.asarray(qtbl, np.int32)
+    div, x1, qshr = make_quant_tables(qraw)
+    fn = _sh.make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags,
+                                 niter=niter, luma=luma,
+                                 batch_axis="data")
+    sharding = NamedSharding(mesh, P("data", "row", None, None))
+    batch = multihost_utils.host_local_array_to_global_array(
+        coefs_local, mesh, P("data", "row", None, None))
+    out, badv = fn(batch, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    local = multihost_utils.global_array_to_host_local_array(
+        out, mesh, P("data", "row", None, None))
+    return np.asarray(local).astype(np.int16)

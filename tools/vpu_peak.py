@@ -78,7 +78,7 @@ def main():
     x = jnp.ones((8, 128), F)
     overhead = timeit("trivial dispatch", jax.jit(lambda x: x + 1), x)
 
-    n_steps = 20000
+    n_steps = 400000
     for n_chains in (1, 4, 16):
         f = peak_kernel(n_chains, n_steps)
         dt = timeit(f"fma chains x{n_chains:2d} ({n_steps} steps)", f, x)
