@@ -337,8 +337,9 @@ static void qs_simple_error_exit(j_common_ptr cinfo) {
     longjmp(e->env, 1);
 }
 
-/* Encode interleaved pixels (ncomp 1=gray, 3=RGB) to JPEG.
- * subsamp: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2, 3 = 4:4:0. */
+/* Encode interleaved pixels (ncomp 1=gray, 3=RGB, 4=CMYK) to JPEG.
+ * subsamp: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2, 3 = 4:4:0,
+ *          4 = 4:1:1 (luma 4x1), 5 = luma 4x2 (exotic). */
 QS_EXPORT int qs_encode(const uint8_t *pixels, int w, int hgt, int ncomp,
                         int quality, int subsamp, int progressive,
                         uint8_t **out, size_t *out_size) {
@@ -357,7 +358,8 @@ QS_EXPORT int qs_encode(const uint8_t *pixels, int w, int hgt, int ncomp,
     cinfo.image_width = w;
     cinfo.image_height = hgt;
     cinfo.input_components = ncomp;
-    cinfo.in_color_space = ncomp == 1 ? JCS_GRAYSCALE : JCS_RGB;
+    cinfo.in_color_space = ncomp == 1 ? JCS_GRAYSCALE
+                         : ncomp == 4 ? JCS_CMYK : JCS_RGB;
     jpeg_set_defaults(&cinfo);
     jpeg_set_quality(&cinfo, quality, TRUE);
     if (ncomp == 3) {
@@ -369,6 +371,12 @@ QS_EXPORT int qs_encode(const uint8_t *pixels, int w, int hgt, int ncomp,
             cinfo.comp_info[0].v_samp_factor = 1;
         } else if (subsamp == 3) {
             cinfo.comp_info[0].h_samp_factor = 1;
+            cinfo.comp_info[0].v_samp_factor = 2;
+        } else if (subsamp == 4) {
+            cinfo.comp_info[0].h_samp_factor = 4;
+            cinfo.comp_info[0].v_samp_factor = 1;
+        } else if (subsamp == 5) {
+            cinfo.comp_info[0].h_samp_factor = 4;
             cinfo.comp_info[0].v_samp_factor = 2;
         } /* default (1) is 2x2 = 4:2:0 */
     }

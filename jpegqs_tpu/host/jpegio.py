@@ -249,7 +249,8 @@ def read_coefficients(data: bytes) -> JpegImage:
 
 def encode_pixels(pixels: np.ndarray, quality: int = 75, subsamp: int = 1,
                   progressive: bool = False) -> bytes:
-    """Encode uint8 pixels (H,W) gray or (H,W,3) RGB to JPEG bytes."""
+    """Encode uint8 pixels (H,W) gray, (H,W,3) RGB or (H,W,4) CMYK to
+    JPEG bytes."""
     lib = get_lib()
     pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
     if pixels.ndim == 2:
@@ -257,8 +258,8 @@ def encode_pixels(pixels: np.ndarray, quality: int = 75, subsamp: int = 1,
         ncomp = 1
     else:
         h, w, ncomp = pixels.shape
-        if ncomp != 3:
-            raise ValueError("expected gray or RGB pixels")
+        if ncomp not in (3, 4):
+            raise ValueError("expected gray, RGB or CMYK pixels")
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     if lib.qs_encode(pixels.ctypes.data_as(ctypes.c_void_p), w, h, ncomp,

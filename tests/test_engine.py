@@ -221,3 +221,55 @@ def test_color_440_sampling(quality):
     assert_matches_reference(
         make_jpeg(56, 48, "photo", seed=17, color=True, quality=75,
                   subsamp=3), quality, 3)
+
+
+@pytest.mark.parametrize("quality", [0, 3, 6])
+def test_color_411_sampling(quality):
+    """4:1:1 (4x1 luma sampling) exercises the exotic-factor plane path
+    (reference supports any libjpeg factors, quantsmooth.h:2753-2815)."""
+    assert_matches_reference(
+        make_jpeg(48, 72, "photo", seed=23, color=True, quality=75,
+                  subsamp=4), quality, 2)
+
+
+@pytest.mark.parametrize("quality", [3, 5])
+def test_color_4x2_sampling(quality):
+    """Luma 4x2 sampling: both axes downsampled, ws=4 exotic path."""
+    assert_matches_reference(
+        make_jpeg(48, 64, "photo", seed=24, color=True, quality=75,
+                  subsamp=5), quality, 2)
+
+
+@pytest.mark.parametrize("quality", [1, 3])
+def test_cmyk_four_components(quality):
+    """CMYK input: 4 non-YCbCr components, every one treated as luma
+    (reference gates color features on JCS_YCbCr, quantsmooth.h:2447)."""
+    assert_matches_reference(
+        make_jpeg(48, 48, "photo", seed=25, color="cmyk", quality=80),
+        quality, 2)
+
+
+def test_niter_clamp_at_100():
+    """niter > 100 clamps to JPEGQS_ITER_MAX (libjpegqs.h:15,
+    quantsmooth.h:2455-2456) — LOW_QUALITY path keeps compile small."""
+    data = make_jpeg(24, 24, "photo", seed=26, quality=70)
+    assert_matches_reference(data, 0, 101)
+    img = jpegio.read_coefficients(data)
+    a = engine.smooth(img, QsOptions.from_quality(0, 101))
+    b = engine.smooth(img, QsOptions.from_quality(0, 100))
+    assert np.array_equal(a.coefs[0], b.coefs[0])
+
+
+@pytest.mark.parametrize("flags", [16 | 1, 32 | 2 | 1, 48 | 2 | 1])
+def test_no_rebalance_flag_combos(flags):
+    """NO_REBALANCE / NO_REBALANCE_UV per-component gating
+    (quantsmooth.h:1569-1573: UV bit only affects chroma)."""
+    data = make_jpeg(48, 56, "photo", seed=27, color=True, quality=70,
+                     subsamp=1)
+    ref_coefs = coef_arrays(run_reference(
+        data, extra_args=("-f", str(flags), "-n", "2"), quality=3,
+        niter=2))
+    img = jpegio.read_coefficients(data)
+    res = engine.smooth(img, QsOptions(flags=flags, niter=2))
+    for ci in range(len(img.components)):
+        assert np.array_equal(res.coefs[ci], ref_coefs[ci][0]), f"c{ci}"

@@ -65,6 +65,9 @@ def synth_image(h: int, w: int, kind: str = "photo", seed: int = 0,
         return g
     r = np.clip(img + 30 * np.sin(xx * 0.03), 0, 255).astype(np.uint8)
     b = np.clip(img - 25 * np.cos(yy * 0.04), 0, 255).astype(np.uint8)
+    if color == "cmyk":
+        k = np.clip(255 - img * 0.7, 0, 255).astype(np.uint8)
+        return np.stack([r, g, b, k], axis=-1)
     return np.stack([r, g, b], axis=-1)
 
 
