@@ -30,7 +30,9 @@ sys.path.insert(0, REPO)
 
 H, W = 1440, 1456
 QUALITY, NITER = 3, 3
-K = 10          # chained device runs per measurement
+K = 50          # chained device runs per measurement — the relay sync
+                # costs a fixed ~29 ms per readback, so K must be large
+                # enough to amortize it below the per-run noise
 MEASURES = 3
 
 
