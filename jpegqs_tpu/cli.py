@@ -157,6 +157,12 @@ def main(argv=None) -> int:
                     for row in q:
                         print("  " + " ".join(f"{v:3d}" for v in row),
                               file=sys.stderr)
+            if info & 4:
+                # INFO_COMP2: per-component block dims
+                # (reference: quantsmooth.h:2569-2572)
+                for ci, c in enumerate(img.components):
+                    print(f"component[{ci}] : size {c.width_in_blocks}x"
+                          f"{c.height_in_blocks}", file=sys.stderr)
             if info & 16:
                 # backend/kernel report — the INFO_CPU analogue
                 # (reference: libjpegqs.c:131-135 prints the SIMD type)
