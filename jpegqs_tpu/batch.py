@@ -192,6 +192,15 @@ def _batch_component(coef16, qraw, div, x1, qshr, img2_halos, *, n, hb, wb,
         pix_n = pix.reshape(8, 8, n, B)
         if it == niter:
             break
+        if pallas_solver.use_pallas() and (use_img2
+                                           or flags & LOW_QUALITY):
+            halos = jax.vmap(lambda p: planar.blocks_halo10(p, hb, wb),
+                             in_axes=2, out_axes=2)(pix_n)
+            coef = pallas_solver.solve_fused(
+                coef, halos.reshape(10, 10, NB),
+                img2_halos if use_img2 else None, div, x1, qshr, flags,
+                do_reb, fence=fp32.fence_value())
+            continue
         if use_img2:
             halos = jax.vmap(lambda p: planar.blocks_halo10(p, hb, wb),
                              in_axes=2, out_axes=2)(pix_n)

@@ -57,6 +57,19 @@ def block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
     supply the cross-block pixel neighborhoods — the single-device
     gathers here, ppermute-exchanging variants in parallel/sharded.py.
     """
+    do_reb = not (flags & NO_REBALANCE
+                  or (not luma and (flags & NO_REBALANCE_UV)))
+    if pallas_solver.use_pallas():
+        if image2 is not None or (flags & LOW_QUALITY):
+            # JOINT/LQ preamble + sweep + rebalance in ONE kernel
+            return pallas_solver.solve_fused(
+                coef, mkhalo10(pix), image2, div, x1, qshr, flags,
+                do_reb, fence=fp32.fence_value())
+        # fused sweep+rebalance kernel, VMEM-resident per tile
+        return pallas_solver.solve_rebalance(
+            coef, mkborders(pix), div, x1, qshr, flags, do_reb,
+            fence=fp32.fence_value())
+
     if image2 is not None:
         fb = planar.joint_yuv_fblocks(mkhalo10(pix), image2)
         coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
@@ -68,24 +81,11 @@ def block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
             coef = planar.fdct_clamp_p(fb, coef, div, x1, qshr)
     else:
         borders = mkborders(pix)
-        do_reb = not (flags & NO_REBALANCE
-                      or (not luma and (flags & NO_REBALANCE_UV)))
-        if pallas_solver.use_pallas():
-            # fused sweep+rebalance kernel, VMEM-resident per tile
-            return pallas_solver.solve_rebalance(
-                coef, borders, div, x1, qshr, flags, do_reb,
-                fence=fp32.fence_value())
         coef = planar.solve_blocks_p(coef, borders, div, x1, qshr, tables,
                                      hb, wb)
-        if do_reb:
-            coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
-        return coef
-
-    if flags & NO_REBALANCE:
-        return coef
-    if not luma and (flags & NO_REBALANCE_UV):
-        return coef
-    return planar.rebalance_blocks_p(coef, div, x1, qshr)
+    if do_reb:
+        coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
+    return coef
 
 
 def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..specref import NATURAL_ORDER, ZIGZAG_REFRESH, make_solver_tables
-from ..options import DIAGONALS
+from ..options import DIAGONALS, LOW_QUALITY
 from . import fp32
 
 F = jnp.float32
@@ -196,22 +196,195 @@ def _interval_clamp(add, a0, div):
 
 
 # ---------------------------------------------------------------------------
+# In-kernel JOINT_YUV / LOW_QUALITY preambles (quantsmooth.h:577-1179)
+# ---------------------------------------------------------------------------
+# These fuse the per-iteration color work into the solver kernel so a
+# chroma pass is ONE device kernel instead of halo->joint->fdct_clamp->
+# solver XLA stages (each with HBM round trips of the full tile).
+# Same fp32 op sequences as ops/planar.py joint_yuv_fblocks /
+# low_quality_* / fdct_clamp_p — bit-exactness is preserved op for op.
+
+def _fdct_pass_t(x, fence, scale=None):
+    """8-point float FDCT butterfly, exact fp32 order (idct.h:608-628);
+    mirrors ops/dct._fdct_float_pass with the in-kernel fence."""
+    def fa(a, b): return fence(a + b)
+    def fs(a, b): return fence(a - b)
+    def fm(a, b): return fence(a * b)
+    z1 = x[0]; z2 = x[7]; t0 = fa(z1, z2); t7 = fs(z1, z2)
+    z1 = x[1]; z2 = x[6]; t1 = fa(z1, z2); t6 = fs(z1, z2)
+    z1 = x[2]; z2 = x[5]; t2 = fa(z1, z2); t5 = fs(z1, z2)
+    z1 = x[3]; z2 = x[4]; t3 = fa(z1, z2); t4 = fs(z1, z2)
+    z1 = fa(t0, t3); z4 = fs(t0, t3)
+    z2 = fa(t1, t2); z3 = fs(t1, t2)
+    o0 = fa(z1, z2); o4 = fs(z1, z2)
+    z1 = fm(fa(z3, z4), F(0.541196100))
+    o2 = fa(z1, fm(z4, F(0.765366865)))
+    o6 = fs(z1, fm(z3, F(1.847759065)))
+    z1 = fa(t4, t7); z2 = fa(t5, t6)
+    z3 = fa(t4, t6); z4 = fa(t5, t7)
+    z5 = fm(fa(z3, z4), F(1.175875602))
+    t4 = fm(t4, F(0.298631336)); t5 = fm(t5, F(2.053119869))
+    t6 = fm(t6, F(3.072711026)); t7 = fm(t7, F(1.501321110))
+    z1 = fm(z1, F(0.899976223)); z2 = fm(z2, F(2.562915447))
+    z3 = fs(fm(z3, F(1.961570560)), z5)
+    z4 = fs(fm(z4, F(0.390180644)), z5)
+    o7 = fs(t4, fa(z1, z3)); o5 = fs(t5, fa(z2, z4))
+    o3 = fs(t6, fa(z2, z3)); o1 = fs(t7, fa(z1, z4))
+    out = [o0, o1, o2, o3, o4, o5, o6, o7]
+    if scale is not None:
+        out = [fm(o, scale) for o in out]
+    return out
+
+
+def _fdct_clamp_tile(fb, out_ref, div_ref, x1_ref, qshr_ref, fence):
+    """fdct_clamp on a tile (quantsmooth.h:343-562, scalar 551-561):
+    FDCT of fb f32[8, 8, 8, 128], round half away, clamp each coef to
+    its quant interval; writes out_ref in place."""
+    cols = _fdct_pass_t([fb[i] for i in range(8)], fence)
+    ws = jnp.stack(cols)
+    rows = _fdct_pass_t([ws[:, i] for i in range(8)], fence,
+                        scale=F(0.125))
+    buf = jnp.stack(rows, axis=1).reshape(64, 8, 128)
+    for i in range(64):
+        add = _c_f32_to_i32(_roundf(buf[i], fence))
+        c1 = out_ref[i]
+        a0 = _orig_coef(c1, div_ref[i], x1_ref[i], qshr_ref[i])
+        out_ref[i] = _interval_clamp(add, a0, div_ref[i])
+
+
+_W3 = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+
+
+def _conv3x3_t(h):
+    """Weighted 3x3 window sums of a [10, 10, 8, 128] halo in f32 —
+    exact: pixel values <= 255 keep every term far below 2^24."""
+    out = jnp.zeros((8, 8, 8, 128), F)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + F(_W3[dy][dx]) * h[dy:dy + 8, dx:dx + 8]
+    return out
+
+
+def _conv3x3_prod_t(ha, hb):
+    out = jnp.zeros((8, 8, 8, 128), F)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + F(_W3[dy][dx]) * (ha[dy:dy + 8, dx:dx + 8]
+                                          * hb[dy:dy + 8, dx:dx + 8])
+    return out
+
+
+def _joint_tile(ch, i2, fence, fenced):
+    """JOINT_YUV 3x3 weighted regression of chroma on downsampled luma
+    (quantsmooth.h:893-920); same op sequence as
+    planar.joint_yuv_fblocks.  ch/i2 int32[10, 10, 8, 128] halos."""
+    a = i2.astype(F)
+    b = ch.astype(F)
+    sumA = _conv3x3_t(a)
+    sumB = _conv3x3_t(b)
+    sAA = _conv3x3_prod_t(a, a) * 16 - sumA * sumA   # exact ints in f32
+    sAB = _conv3x3_prod_t(a, b) * 16 - sumA * sumB
+    dv = fp32.exact_divide(sAB, sAA, fence if fenced else None)
+    scale = jnp.where(sAA != F(0), dv, F(0))
+    scale = jnp.minimum(jnp.maximum(scale, F(-16.0)), F(16.0))
+    center2 = a[1:9, 1:9]
+    av = fence(fence(fence((center2 * 16 - sumA) * scale) + sumB)
+               * F(1.0 / 16))
+    av = fence(jnp.maximum(av, F(0)) - F(128))
+    return jnp.minimum(av, F(128))
+
+
+# 8-neighbor order of the LQ shrink (quantsmooth.h:1164-1171)
+_LQ_NEIGHBORS = ((-1, -1, 1), (0, -1, 0), (1, -1, 1),
+                 (-1, 0, 0), (1, 0, 0),
+                 (-1, 1, 1), (0, 1, 0), (1, 1, 1))
+
+
+def _lq_range_tile(out_ref, div_ref, fence, fenced):
+    """Per-block range estimate (quantsmooth.h:929-938): strict fp32
+    left fold over the AC rows, as planar.low_quality_range_p."""
+    acc = jnp.zeros((8, 128), F)
+    s = jnp.zeros((8, 128), I32)
+    for i in range(1, 64):
+        a = jnp.abs(out_ref[i])
+        acc = fence(acc + (div_ref[i] * a).astype(F))
+        s = s + a
+    mul = fp32.exact_divide(F(4.0), s.astype(F), fence if fenced else None)
+    rng_ = jnp.where(s != 0, fence(acc * mul), acc)
+    rng_ = jnp.minimum(rng_, F(128))
+    return _roundf(rng_, fence)
+
+
+def _lq_shrink_tile(halo, rngv, fence, fenced):
+    """LOW_QUALITY 3x3 weighted gradient shrink
+    (quantsmooth.h:1161-1175); same op sequence as
+    planar.low_quality_fblocks.  Returns centered f32[8, 8, 8, 128]."""
+    c0 = np.float32(2.0)
+    c1 = np.float32(c0 * np.sqrt(np.float32(0.5)))
+    cw = (F(c0), F(c1))
+    a = halo[1:9, 1:9]
+    rmap = rngv[None, None]
+    acc0 = jnp.zeros((8, 8, 8, 128), F)
+    accn = jnp.zeros((8, 8, 8, 128), F)
+    for dx, dy, wi in _LQ_NEIGHBORS:
+        nb = halo[1 + dy:9 + dy, 1 + dx:9 + dx]
+        t0 = (a - nb).astype(F)
+        t = jnp.maximum(rmap - jnp.abs(t0), F(0))  # integral: exact
+        t = t * t                                  # < 2^24: exact
+        aw = fence(cw[wi] * t)
+        acc0 = fence(acc0 + fence((t0 * t) * aw))
+        accn = fence(accn + fence(aw * aw))
+    corr = fp32.exact_divide(acc0, accn, fence if fenced else None)
+    shifted = fence(a.astype(F) - corr)
+    newa = jnp.where(accn > F(0), _c_f32_to_i32(shifted), a)
+    return (newa - 128).astype(F)
+
+
+# ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _solve_kernel(nt, ntp, do_rebalance, fenced,
+def _solve_kernel(nt, ntp, do_rebalance, fenced, preamble, do_sweep,
                   div_ref, x1_ref, qshr_ref, tab_ref, fence_ref,
-                  coef_ref, bord_ref, out_ref,
+                  coef_ref, aux1_ref, aux2_ref, out_ref,
                   diffs_ref, absd_ref, need_ref):
+    """aux1_ref: borders [32, 8, 128] (preamble None) or the pixel halo
+    [100, 8, 128] (preamble 'joint'/'lq'); aux2_ref: the downsampled-
+    luma halo [100, 8, 128] ('joint' only)."""
     fence = _mkfence(fence_ref[0], fenced)
     out_ref[...] = coef_ref[...]
+
+    halo = None
+    if preamble == "joint":
+        halo = aux1_ref[...].reshape(10, 10, 8, 128)
+        i2 = aux2_ref[...].reshape(10, 10, 8, 128)
+        fb = _joint_tile(halo, i2, fence, fenced)
+        _fdct_clamp_tile(fb, out_ref, div_ref, x1_ref, qshr_ref, fence)
+    elif preamble == "lq":
+        halo = aux1_ref[...].reshape(10, 10, 8, 128)
+        rngv = _lq_range_tile(out_ref, div_ref, fence, fenced)
+        fb = _lq_shrink_tile(halo, rngv, fence, fenced)
+        _fdct_clamp_tile(fb, out_ref, div_ref, x1_ref, qshr_ref, fence)
+
+    if not do_sweep:
+        if do_rebalance:
+            _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref)
+        return
+
+    if preamble == "joint":
+        # solver borders are rows/cols of the very halo (the neighbor
+        # lines of planar.borders_from_blocks)
+        bord = jnp.concatenate([halo[0, 1:9], halo[9, 1:9],
+                                halo[1:9, 0], halo[1:9, 9]])
+    else:
+        bord = aux1_ref[...]
     need_ref[...] = jnp.ones((8, 128), I32)
 
     for g_is in _GROUPS:
         # refresh — every group opens one (zigzag_refresh); per-lane
         # masked: lanes whose coefs did not change keep their diffs
         pix = _idct_tile(out_ref[...])
-        dd = _diffs_tile(pix, bord_ref[...], nt).astype(F)
+        dd = _diffs_tile(pix, bord, nt).astype(F)
         if ntp != nt:
             dd = jnp.concatenate([dd, jnp.zeros((ntp - nt, 8, 128), F)])
         sel = (need_ref[...] != 0)[None]
@@ -259,100 +432,119 @@ def _solve_kernel(nt, ntp, do_rebalance, fenced,
         need_ref[...] = need
 
     if do_rebalance:
-        # AC energy restore (quantsmooth.h:1823-1848); int64 emulated
-        # as radix-2^16 pairs exactly as in ops/rebalance.py.
-        def norm(hi, lo):
-            cc = lo >> 16
-            return hi + cc, lo - (cc << 16)
+        _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref)
 
-        def pair_ge(ah, al, bh, bl):
-            return (ah > bh) | ((ah == bh) & (al >= bl))
 
-        def racc(r, carry):
-            m0h, m0l, m1h, m1l = carry
-            c1 = out_ref[pl.ds(r, 1)][0]
-            a0 = _orig_coef(c1, div_ref[r], x1_ref[r], qshr_ref[r])
-            t0 = c1 * a0
-            t1 = a0 * a0
-            return (m0h + (t0 >> 16), m0l + (t0 & 0xFFFF),
-                    m1h + (t1 >> 16), m1l + (t1 & 0xFFFF))
+def _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref):
+    # AC energy restore (quantsmooth.h:1823-1848); int64 emulated
+    # as radix-2^16 pairs exactly as in ops/rebalance.py.  The 63 AC
+    # rows are statically unrolled: the accumulations are order-free
+    # integer adds, and static row indices let the VPU pipeline them
+    # (a fori_loop with dynamic row slices serializes ~8x slower).
+    def norm(hi, lo):
+        cc = lo >> 16
+        return hi + cc, lo - (cc << 16)
 
-        z = jnp.zeros((8, 128), I32)
-        m0h, m0l, m1h, m1l = jax.lax.fori_loop(1, 64, racc, (z, z, z, z))
-        m0h, m0l = norm(m0h, m0l)
-        m1h, m1l = norm(m1h, m1l)
-        do = ~pair_ge(m0h, m0l, m1h, m1l)
-        zm = (m0h == 0) & (m0l == 0)
-        m0l = jnp.where(zm, I32(1), m0l)
-        t2h, t2l = norm(m0h << 1, m0l << 1)
-        qq2 = pair_ge(m1h, m1l, t2h, t2l)
-        qh = jnp.where(qq2, t2h, m0h)
-        ql = jnp.where(qq2, t2l, m0l)
-        rrh, rrl = norm(m1h - qh, m1l - ql)
-        q2 = z
-        remh, reml = rrh, rrl
-        for _ in range(13):
-            remh, reml = norm(remh << 1, reml << 1)
-            ge = pair_ge(remh, reml, m0h, m0l)
-            sh, sl = norm(remh - m0h, reml - m0l)
-            remh = jnp.where(ge, sh, remh)
-            reml = jnp.where(ge, sl, reml)
-            q2 = (q2 << 1) + ge.astype(I32)
-        hh, hl = m0h >> 1, ((m0h & 1) << 15) | (m0l >> 1)
-        fh, fl = norm(remh + hh, reml + hl)
-        adj = pair_ge(fh, fl, m0h, m0l).astype(I32)
-        mul = (jnp.where(qq2, I32(2), I32(1)) << 13) + q2 + adj
+    def pair_ge(ah, al, bh, bl):
+        return (ah > bh) | ((ah == bh) & (al >= bl))
 
-        def rupd(r, _):
-            c1 = out_ref[pl.ds(r, 1)][0]
-            a0 = _orig_coef(c1, div_ref[r], x1_ref[r], qshr_ref[r])
-            add = (c1 * mul + 0x1000) >> 13
-            add = _interval_clamp(add, a0, div_ref[r])
-            out_ref[pl.ds(r, 1)] = jnp.where(do, add, c1)[None]
-            return 0
+    cs = [out_ref[r] for r in range(1, 64)]
+    a0s = [_orig_coef(cs[r - 1], div_ref[r], x1_ref[r], qshr_ref[r])
+           for r in range(1, 64)]
+    z = jnp.zeros((8, 128), I32)
+    m0h = m0l = m1h = m1l = z
+    for c1, a0 in zip(cs, a0s):
+        t0 = c1 * a0
+        t1 = a0 * a0
+        m0h = m0h + (t0 >> 16)
+        m0l = m0l + (t0 & 0xFFFF)
+        m1h = m1h + (t1 >> 16)
+        m1l = m1l + (t1 & 0xFFFF)
+    m0h, m0l = norm(m0h, m0l)
+    m1h, m1l = norm(m1h, m1l)
+    do = ~pair_ge(m0h, m0l, m1h, m1l)
+    zm = (m0h == 0) & (m0l == 0)
+    m0l = jnp.where(zm, I32(1), m0l)
+    t2h, t2l = norm(m0h << 1, m0l << 1)
+    qq2 = pair_ge(m1h, m1l, t2h, t2l)
+    qh = jnp.where(qq2, t2h, m0h)
+    ql = jnp.where(qq2, t2l, m0l)
+    rrh, rrl = norm(m1h - qh, m1l - ql)
+    q2 = z
+    remh, reml = rrh, rrl
+    for _ in range(13):
+        remh, reml = norm(remh << 1, reml << 1)
+        ge = pair_ge(remh, reml, m0h, m0l)
+        sh, sl = norm(remh - m0h, reml - m0l)
+        remh = jnp.where(ge, sh, remh)
+        reml = jnp.where(ge, sl, reml)
+        q2 = (q2 << 1) + ge.astype(I32)
+    hh, hl = m0h >> 1, ((m0h & 1) << 15) | (m0l >> 1)
+    fh, fl = norm(remh + hh, reml + hl)
+    adj = pair_ge(fh, fl, m0h, m0l).astype(I32)
+    mul = (jnp.where(qq2, I32(2), I32(1)) << 13) + q2 + adj
 
-        jax.lax.fori_loop(1, 64, rupd, 0)
+    for r in range(1, 64):
+        c1 = cs[r - 1]
+        add = (c1 * mul + 0x1000) >> 13
+        add = _interval_clamp(add, a0s[r - 1], div_ref[r])
+        out_ref[r] = jnp.where(do, add, c1)
 
 
 @functools.partial(jax.jit, static_argnames=("flags", "do_rebalance",
-                                             "interpret", "fenced"))
-def _solve_tiled(coef_t, bord_t, div, x1, qshr, fence, *, flags,
-                 do_rebalance, interpret, fenced):
+                                             "interpret", "fenced",
+                                             "preamble", "do_sweep"))
+def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
+                 do_rebalance, interpret, fenced, preamble=None,
+                 do_sweep=True):
     g = coef_t.shape[0]
-    nt = _nt_for(flags)
-    ntp = _round_up(nt, 8)
-    tabf = np.zeros((64, ntp), dtype=np.float32)
-    tabf[:, :nt] = make_solver_tables(flags)[:, :nt]
-    kernel = functools.partial(_solve_kernel, nt, ntp, do_rebalance, fenced)
+    if do_sweep:
+        nt = _nt_for(flags)
+        ntp = _round_up(nt, 8)
+        tabf = np.zeros((64, ntp), dtype=np.float32)
+        tabf[:, :nt] = make_solver_tables(flags)[:, :nt]
+    else:
+        nt = ntp = 8                       # scratch/tab untouched
+        tabf = np.zeros((64, 8), dtype=np.float32)
+    kernel = functools.partial(_solve_kernel, nt, ntp, do_rebalance,
+                               fenced, preamble, do_sweep)
+    tile = lambda i, *_: (i, 0, 0, 0)
+    in_specs = [pl.BlockSpec((1, 64, 8, 128), tile)]
+    if preamble is None:
+        in_specs.append(pl.BlockSpec((1, 32, 8, 128), tile))
+    else:
+        in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
+        if preamble == "joint":
+            in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 64, 8, 128), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 32, 8, 128), lambda i, *_: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 64, 8, 128), lambda i, *_: (i, 0, 0, 0)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 64, 8, 128), tile),
         scratch_shapes=[
             pltpu.VMEM((ntp, 8, 128), F),
             pltpu.VMEM((ntp, 8, 128), F),
             pltpu.VMEM((8, 128), I32),
         ],
     )
+    n_in = 3 if preamble == "joint" else 2
 
-    def kern(div_s, x1_s, qshr_s, tab_s, fence_s,
-             coef_ref, bord_ref, out_ref,
-             diffs_ref, absd_ref, need_ref):
+    def kern(div_s, x1_s, qshr_s, tab_s, fence_s, *refs):
+        ins, out_ref = refs[:n_in], refs[n_in]
+        diffs_ref, absd_ref, need_ref = refs[n_in + 1:]
         kernel(div_s, x1_s, qshr_s, tab_s, fence_s,
-               coef_ref.at[0], bord_ref.at[0], out_ref.at[0],
-               diffs_ref, absd_ref, need_ref)
+               ins[0].at[0], ins[1].at[0],
+               ins[2].at[0] if n_in == 3 else None,
+               out_ref.at[0], diffs_ref, absd_ref, need_ref)
 
+    args = [coef_t, aux1_t] + ([aux2_t] if preamble == "joint" else [])
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(coef_t.shape, jnp.int32),
         interpret=interpret,
     )(div, x1, qshr,
-      jnp.asarray(tabf.reshape(-1)), fence.reshape(1), coef_t, bord_t)
+      jnp.asarray(tabf.reshape(-1)), fence.reshape(1), *args)
 
 
 def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
@@ -386,8 +578,53 @@ def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
     bord_t = bord_p.reshape(32, g, 8, 128).transpose(1, 0, 2, 3)
     if fence is None:
         fence = jnp.zeros((), I32)
-    out_t = _solve_tiled(coef_t, bord_t, div, x1, qshr, fence,
+    out_t = _solve_tiled(coef_t, bord_t, None, div, x1, qshr, fence,
                          flags=flags, do_rebalance=do_rebalance,
                          interpret=interpret, fenced=fenced)
+    out = out_t.transpose(1, 0, 2, 3).reshape(64, bp)
+    return out[:, :B]
+
+
+def solve_fused(coef, halo, image2, div, x1, qshr, flags, do_rebalance,
+                fence=None, interpret=False, fenced=None):
+    """JOINT_YUV / LOW_QUALITY block pass fused into the solver kernel.
+
+    One kernel covers what the reference does per block in one
+    ``quantsmooth_block`` call (quantsmooth.h:564-1848): the JOINT_YUV
+    regression + fdct_clamp (577-922) when ``image2`` is given, or the
+    LOW_QUALITY range/shrink + fdct_clamp (924-1179) when
+    ``flags & LOW_QUALITY``; then the k=63..1 sweep (unless
+    LOW_QUALITY) and the AC rebalance.
+
+    coef int32[64, B]; halo int32[10, 10, B] pixel neighborhoods
+    (planar.blocks_halo10 of the current pixels — the solver borders
+    are its edge lines, so no separate borders input); image2
+    int32[10, 10, B] downsampled-luma halos or None.
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True
+    if fenced is None:
+        fenced = interpret or jax.default_backend() != "tpu"
+    preamble = "joint" if image2 is not None else "lq"
+    do_sweep = not (flags & LOW_QUALITY)
+    B = coef.shape[1]
+    bp = _round_up(B, TILE_BLOCKS)
+    g = bp // TILE_BLOCKS
+    pad = bp - B
+    coef_t = jnp.pad(coef, ((0, 0), (0, pad))).reshape(
+        64, g, 8, 128).transpose(1, 0, 2, 3)
+
+    def tile_halo(h):
+        return jnp.pad(h.reshape(100, B), ((0, 0), (0, pad))).reshape(
+            100, g, 8, 128).transpose(1, 0, 2, 3)
+
+    aux1_t = tile_halo(halo)
+    aux2_t = tile_halo(image2) if image2 is not None else None
+    if fence is None:
+        fence = jnp.zeros((), I32)
+    out_t = _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence,
+                         flags=flags, do_rebalance=do_rebalance,
+                         interpret=interpret, fenced=fenced,
+                         preamble=preamble, do_sweep=do_sweep)
     out = out_t.transpose(1, 0, 2, 3).reshape(64, bp)
     return out[:, :B]

@@ -55,6 +55,12 @@ def local_fanout(args):
     for pid in range(args.local):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        # CPU-only dev workers must not load the TPU plugin: its
+        # backend discovery opens the device tunnel and can hang
+        # indefinitely right after another process used it heavily
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and ".axon_site" not in p)
         if args.devices_per_host:
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                                 + " --xla_force_host_platform_device_count="
