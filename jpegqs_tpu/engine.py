@@ -47,7 +47,7 @@ def _int16_wrap(x):
 
 
 def block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
-                 mkhalo10, mkborders, hb, wb):
+                 mkhalo10, mkborders, hb, wb, want_pix=False):
     """One smoothing pass over all blocks of a component, planar layout
     (reference: quantsmooth.h:564-1848; driver loop 2624-2651).
 
@@ -56,19 +56,26 @@ def block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
     ``mkhalo10(pix) -> [10, 10, B]`` and ``mkborders(pix) -> 4x[8, B]``
     supply the cross-block pixel neighborhoods — the single-device
     gathers here, ppermute-exchanging variants in parallel/sharded.py.
+
+    Returns (coef, new_pix): with ``want_pix`` on the Pallas path the
+    kernel emits the IDCT of the updated coefficients directly (saving
+    the XLA idct pass the driver loop would otherwise run); otherwise
+    new_pix is None and the caller derives it.
     """
     do_reb = not (flags & NO_REBALANCE
                   or (not luma and (flags & NO_REBALANCE_UV)))
     if pallas_solver.use_pallas():
         if image2 is not None or (flags & LOW_QUALITY):
             # JOINT/LQ preamble + sweep + rebalance in ONE kernel
-            return pallas_solver.solve_fused(
+            out = pallas_solver.solve_fused(
                 coef, mkhalo10(pix), image2, div, x1, qshr, flags,
-                do_reb, fence=fp32.fence_value())
-        # fused sweep+rebalance kernel, VMEM-resident per tile
-        return pallas_solver.solve_rebalance(
-            coef, mkborders(pix), div, x1, qshr, flags, do_reb,
-            fence=fp32.fence_value())
+                do_reb, fence=fp32.fence_value(), want_pix=want_pix)
+        else:
+            # fused sweep+rebalance kernel, VMEM-resident per tile
+            out = pallas_solver.solve_rebalance(
+                coef, mkborders(pix), div, x1, qshr, flags, do_reb,
+                fence=fp32.fence_value(), want_pix=want_pix)
+        return out if want_pix else (out, None)
 
     if image2 is not None:
         fb = planar.joint_yuv_fblocks(mkhalo10(pix), image2)
@@ -85,16 +92,17 @@ def block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
                                      hb, wb)
     if do_reb:
         coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
-    return coef
+    return coef, None
 
 
 def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
-                  hb, wb):
+                  hb, wb, want_pix=False):
     """Single-device block pass: in-array neighbor gathers."""
     return block_pass_p(
         coef, pix, image2, div, x1, qshr, flags, tables, luma,
         lambda p: planar.blocks_halo10(p, hb, wb),
-        lambda p: planar.borders_from_blocks(p, hb, wb), hb, wb)
+        lambda p: planar.borders_from_blocks(p, hb, wb), hb, wb,
+        want_pix=want_pix)
 
 
 @partial(jax.jit, static_argnames=("hb", "wb", "flags", "niter",
@@ -153,13 +161,20 @@ def _component_smooth_body(coef16, qraw, div, x1, qshr, image2, *, hb, wb,
         img2 = (image2 if use_image2 == "halo"
                 else planar.padded_plane_to_halo10(image2, hb, wb))
 
-    pix = None
-    for it in range(niter + extra_refresh):
-        pix = planar.idct_islow_p(coef.reshape(8, 8, B))
-        if it == niter:
-            break
-        coef = _block_pass_p(coef, pix, img2, div, x1, qshr, flags,
-                             tables, luma, hb, wb)
+    # Driver loop (quantsmooth.h:2580-2651).  The pass-input pixels for
+    # iteration 0 come from the dequantized coefficients; afterwards
+    # the Pallas kernel emits the refreshed pixels itself (want_pix),
+    # so no XLA idct pass runs between iterations.  The final `pix`
+    # matches the reference: refreshed only when extra_refresh asks.
+    pix = planar.idct_islow_p(coef.reshape(8, 8, B))
+    for it in range(niter):
+        keep = it < niter - 1 or extra_refresh
+        coef, newpix = _block_pass_p(coef, pix, img2, div, x1, qshr,
+                                     flags, tables, luma, hb, wb,
+                                     want_pix=bool(keep))
+        if keep:
+            pix = (newpix if newpix is not None
+                   else planar.idct_islow_p(coef.reshape(8, 8, B)))
 
     if want_plane == "pix":
         padded = pix                     # block form, no plane transpose
@@ -248,8 +263,9 @@ def _iter_stage_impl(coef, image2, div, x1, qshr, fence, *, hb, wb, flags,
             tables = make_solver_tables(flags)
         pix = planar.idct_islow_p(coef.reshape(8, 8, B))
         img2 = image2 if use_image2 else None
-        return _block_pass_p(coef, pix, img2, div, x1, qshr, flags,
-                             tables, luma, hb, wb)
+        coef, _ = _block_pass_p(coef, pix, img2, div, x1, qshr, flags,
+                                tables, luma, hb, wb)
+        return coef
 
 
 @partial(jax.jit, static_argnames=("hb", "wb", "want_plane"))

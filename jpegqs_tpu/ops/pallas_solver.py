@@ -346,13 +346,20 @@ def _lq_shrink_tile(halo, rngv, fence, fenced):
 
 def _solve_kernel(nt, ntp, do_rebalance, fenced, preamble, do_sweep,
                   div_ref, x1_ref, qshr_ref, tab_ref, fence_ref,
-                  coef_ref, aux1_ref, aux2_ref, out_ref,
+                  coef_ref, aux1_ref, aux2_ref, out_ref, pix_ref,
                   diffs_ref, absd_ref, need_ref):
     """aux1_ref: borders [32, 8, 128] (preamble None) or the pixel halo
     [100, 8, 128] (preamble 'joint'/'lq'); aux2_ref: the downsampled-
-    luma halo [100, 8, 128] ('joint' only)."""
+    luma halo [100, 8, 128] ('joint' only); pix_ref: optional second
+    output — the IDCT of the final coefficients, so the engine's
+    next-iteration pixels come out of the same kernel instead of a
+    separate XLA idct pass over the whole plane."""
     fence = _mkfence(fence_ref[0], fenced)
     out_ref[...] = coef_ref[...]
+
+    def emit_pix():
+        if pix_ref is not None:
+            pix_ref[...] = _idct_tile(out_ref[...]).reshape(64, 8, 128)
 
     halo = None
     if preamble == "joint":
@@ -369,6 +376,7 @@ def _solve_kernel(nt, ntp, do_rebalance, fenced, preamble, do_sweep,
     if not do_sweep:
         if do_rebalance:
             _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref)
+        emit_pix()
         return
 
     if preamble == "joint":
@@ -433,6 +441,7 @@ def _solve_kernel(nt, ntp, do_rebalance, fenced, preamble, do_sweep,
 
     if do_rebalance:
         _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref)
+    emit_pix()
 
 
 def _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref):
@@ -493,10 +502,11 @@ def _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref):
 
 @functools.partial(jax.jit, static_argnames=("flags", "do_rebalance",
                                              "interpret", "fenced",
-                                             "preamble", "do_sweep"))
+                                             "preamble", "do_sweep",
+                                             "want_pix"))
 def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
                  do_rebalance, interpret, fenced, preamble=None,
-                 do_sweep=True):
+                 do_sweep=True, want_pix=False):
     g = coef_t.shape[0]
     if do_sweep:
         nt = _nt_for(flags)
@@ -516,11 +526,15 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
         in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
         if preamble == "joint":
             in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
+    out_spec = pl.BlockSpec((1, 64, 8, 128), tile)
+    out_specs = (out_spec, out_spec) if want_pix else out_spec
+    out_sds = jax.ShapeDtypeStruct(coef_t.shape, jnp.int32)
+    out_shape = (out_sds, out_sds) if want_pix else out_sds
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(g,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 64, 8, 128), tile),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((ntp, 8, 128), F),
             pltpu.VMEM((ntp, 8, 128), F),
@@ -528,27 +542,36 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
         ],
     )
     n_in = 3 if preamble == "joint" else 2
+    n_out = 2 if want_pix else 1
 
     def kern(div_s, x1_s, qshr_s, tab_s, fence_s, *refs):
-        ins, out_ref = refs[:n_in], refs[n_in]
-        diffs_ref, absd_ref, need_ref = refs[n_in + 1:]
+        ins = refs[:n_in]
+        out_ref = refs[n_in]
+        pix_ref = refs[n_in + 1] if want_pix else None
+        diffs_ref, absd_ref, need_ref = refs[n_in + n_out:]
         kernel(div_s, x1_s, qshr_s, tab_s, fence_s,
                ins[0].at[0], ins[1].at[0],
                ins[2].at[0] if n_in == 3 else None,
-               out_ref.at[0], diffs_ref, absd_ref, need_ref)
+               out_ref.at[0], pix_ref.at[0] if want_pix else None,
+               diffs_ref, absd_ref, need_ref)
 
     args = [coef_t, aux1_t] + ([aux2_t] if preamble == "joint" else [])
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(coef_t.shape, jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
     )(div, x1, qshr,
       jnp.asarray(tabf.reshape(-1)), fence.reshape(1), *args)
 
 
+def _untile(out_t, bp, B):
+    return out_t.transpose(1, 0, 2, 3).reshape(64, bp)[:, :B]
+
+
 def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
-                    fence=None, interpret=False, fenced=None):
+                    fence=None, interpret=False, fenced=None,
+                    want_pix=False):
     """Drop-in replacement for planar solve_blocks_p (+rebalance).
 
     coef int32[64, B]; borders (top, bottom, left, right) int32[8, B];
@@ -580,13 +603,17 @@ def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
         fence = jnp.zeros((), I32)
     out_t = _solve_tiled(coef_t, bord_t, None, div, x1, qshr, fence,
                          flags=flags, do_rebalance=do_rebalance,
-                         interpret=interpret, fenced=fenced)
-    out = out_t.transpose(1, 0, 2, 3).reshape(64, bp)
-    return out[:, :B]
+                         interpret=interpret, fenced=fenced,
+                         want_pix=want_pix)
+    if want_pix:
+        return (_untile(out_t[0], bp, B),
+                _untile(out_t[1], bp, B).reshape(8, 8, B))
+    return _untile(out_t, bp, B)
 
 
 def solve_fused(coef, halo, image2, div, x1, qshr, flags, do_rebalance,
-                fence=None, interpret=False, fenced=None):
+                fence=None, interpret=False, fenced=None,
+                want_pix=False):
     """JOINT_YUV / LOW_QUALITY block pass fused into the solver kernel.
 
     One kernel covers what the reference does per block in one
@@ -625,6 +652,9 @@ def solve_fused(coef, halo, image2, div, x1, qshr, flags, do_rebalance,
     out_t = _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence,
                          flags=flags, do_rebalance=do_rebalance,
                          interpret=interpret, fenced=fenced,
-                         preamble=preamble, do_sweep=do_sweep)
-    out = out_t.transpose(1, 0, 2, 3).reshape(64, bp)
-    return out[:, :B]
+                         preamble=preamble, do_sweep=do_sweep,
+                         want_pix=want_pix)
+    if want_pix:
+        return (_untile(out_t[0], bp, B),
+                _untile(out_t[1], bp, B).reshape(8, 8, B))
+    return _untile(out_t, bp, B)

@@ -130,14 +130,18 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
     def mkbord(p):
         return borders_from_blocks_sharded(p, hb_loc, wb, row_axis)
 
-    pix = None
-    for it in range(niter + extra_refresh):
-        pix = planar.idct_islow_p(coef.reshape(8, 8, B))
-        if it == niter:
-            break
-        coef = _engine.block_pass_p(coef, pix, img2_halo, div, x1, qshr,
-                                    flags, tables, luma, mkhalo, mkbord,
-                                    hb_loc, wb)
+    # same driver-loop shape as engine._component_smooth_body: the
+    # Pallas kernel emits the refreshed pixels (want_pix), so only the
+    # iteration-0 pixels need an idct pass
+    pix = planar.idct_islow_p(coef.reshape(8, 8, B))
+    for it in range(niter):
+        keep = it < niter - 1 or extra_refresh
+        coef, newpix = _engine.block_pass_p(
+            coef, pix, img2_halo, div, x1, qshr, flags, tables, luma,
+            mkhalo, mkbord, hb_loc, wb, want_pix=bool(keep))
+        if keep:
+            pix = (newpix if newpix is not None
+                   else planar.idct_islow_p(coef.reshape(8, 8, B)))
     coef = jnp.where(badv, coef_dq, coef)
     coef = jnp.clip(coef, -1023, 1023)
     return coef, pix, badv

@@ -102,3 +102,22 @@ def test_fused_low_quality():
 def test_fused_no_rebalance():
     _fused_case(LOW_QUALITY | DIAGONALS | NO_REBALANCE, False, 4, 6,
                 seed=8)
+
+
+def test_want_pix_matches_idct():
+    """The kernel's pixel output equals the IDCT of its coefficient
+    output (the engine relies on this to skip the XLA idct pass)."""
+    rng = np.random.default_rng(13)
+    B = 60
+    qtbl = rng.integers(1, 120, 64).astype(np.uint16)
+    div, x1, qshr = (jnp.asarray(a) for a in make_quant_tables(qtbl))
+    coef = np.clip(rng.integers(-40, 41, (B, 64))
+                   * qtbl.astype(np.int32)[None, :], -32768, 32767
+                   ).astype(np.int32)
+    borders = rng.integers(0, 256, (B, 4, 8)).astype(np.int32)
+    out, pix = solve_rebalance(
+        jnp.asarray(coef.T),
+        tuple(jnp.asarray(borders[:, j].T) for j in range(4)),
+        div, x1, qshr, 1, True, interpret=True, want_pix=True)
+    want = planar.idct_islow_p(jnp.asarray(out).reshape(8, 8, B))
+    assert np.array_equal(np.asarray(pix), np.asarray(want))
