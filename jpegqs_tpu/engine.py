@@ -105,6 +105,42 @@ def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
         want_pix=want_pix)
 
 
+def _pallas_resident_iters(coef, pix, img2, div, x1, qshr, flags, luma,
+                           hb, wb, niter, extra_refresh):
+    """Pallas driver loop with fully resident tiled state: after the
+    iter-0 IDCT, coefficients AND pixels stay in the kernel tile layout
+    across iterations; the solver borders / pixel halo are rebuilt in
+    VMEM from the resident pixel window each pass
+    (pallas_solver._ring_from_pix), so no XLA gather, IDCT, or layout
+    transpose runs between iterations (quantsmooth.h:2580-2651)."""
+    B = coef.shape[1]
+    do_reb = not (flags & NO_REBALANCE
+                  or (not luma and (flags & NO_REBALANCE_UV)))
+    coef_t = pallas_solver.tile_blocks(coef)
+    pix_t = pallas_solver.tile_blocks(pix.reshape(64, B))
+    masks_t = pallas_solver.edge_masks(hb, wb)
+    img2_t = (pallas_solver.tile_blocks(img2.reshape(100, B))
+              if img2 is not None else None)
+    joint_or_lq = img2 is not None or (flags & LOW_QUALITY)
+    for it in range(niter):
+        keep = bool(it < niter - 1 or extra_refresh)
+        if joint_or_lq:
+            out = pallas_solver.solve_fused_pix(
+                coef_t, pix_t, masks_t, img2_t, div, x1, qshr, flags,
+                do_reb, wb, fence=fp32.fence_value(), want_pix=keep)
+        else:
+            out = pallas_solver.solve_rebalance_pix(
+                coef_t, pix_t, masks_t, div, x1, qshr, flags, do_reb,
+                wb, fence=fp32.fence_value(), want_pix=keep)
+        if keep:
+            coef_t, pix_t = out
+        else:
+            coef_t = out
+    coef = pallas_solver.untile_blocks(coef_t, B)
+    pix = pallas_solver.untile_blocks(pix_t, B).reshape(8, 8, B)
+    return coef, pix
+
+
 @partial(jax.jit, static_argnames=("hb", "wb", "flags", "niter",
                                    "extra_refresh", "luma", "use_image2",
                                    "want_plane"))
@@ -167,14 +203,19 @@ def _component_smooth_body(coef16, qraw, div, x1, qshr, image2, *, hb, wb,
     # so no XLA idct pass runs between iterations.  The final `pix`
     # matches the reference: refreshed only when extra_refresh asks.
     pix = planar.idct_islow_p(coef.reshape(8, 8, B))
-    for it in range(niter):
-        keep = it < niter - 1 or extra_refresh
-        coef, newpix = _block_pass_p(coef, pix, img2, div, x1, qshr,
-                                     flags, tables, luma, hb, wb,
-                                     want_pix=bool(keep))
-        if keep:
-            pix = (newpix if newpix is not None
-                   else planar.idct_islow_p(coef.reshape(8, 8, B)))
+    if pallas_solver.use_pallas() and niter > 0:
+        coef, pix = _pallas_resident_iters(coef, pix, img2, div, x1,
+                                           qshr, flags, luma, hb, wb,
+                                           niter, extra_refresh)
+    else:
+        for it in range(niter):
+            keep = it < niter - 1 or extra_refresh
+            coef, newpix = _block_pass_p(coef, pix, img2, div, x1, qshr,
+                                         flags, tables, luma, hb, wb,
+                                         want_pix=bool(keep))
+            if keep:
+                pix = (newpix if newpix is not None
+                       else planar.idct_islow_p(coef.reshape(8, 8, B)))
 
     if want_plane == "pix":
         padded = pix                     # block form, no plane transpose

@@ -341,19 +341,157 @@ def _lq_shrink_tile(halo, rngv, fence, fenced):
 
 
 # ---------------------------------------------------------------------------
+# Block tiling + in-kernel halo construction from resident pixels
+# ---------------------------------------------------------------------------
+# The resident-pixel kernel variant (aux_mode="pix") keeps the whole
+# iteration state in tiled device layout: instead of materializing the
+# [10, 10, B] halo (or the 4 border lines) with XLA gathers between
+# iterations, the kernel receives a (2k+1)-tile window of the pixel
+# array emitted by the previous invocation (want_pix) and rebuilds the
+# neighbor lines in VMEM with static sublane/lane shifts.  The flat
+# block axis maps to (sublane, lane) as b = s*128 + l, so a neighbor
+# offset S decomposes into a sublane slice and a lane roll.  Image-edge
+# replication (quantsmooth.h:2612-2620) is applied with precomputed
+# per-lane edge masks, which also makes the construction correct for
+# batched inputs (n images concatenated on the block axis: cross-image
+# reads only ever happen on masked lanes).
+
+_BY0, _BYN, _BX0, _BXN = 1, 2, 4, 8
+
+
+def tile_blocks(x):
+    """[R, B] -> [g, R, 8, 128]: pad the block axis to g*1024 and split
+    it over (grid, sublane, lane)."""
+    R, B = x.shape
+    bp = _round_up(B, TILE_BLOCKS)
+    xp = jnp.pad(x, ((0, 0), (0, bp - B)))
+    return xp.reshape(R, bp // TILE_BLOCKS, 8, 128).transpose(1, 0, 2, 3)
+
+
+def untile_blocks(xt, B):
+    """Inverse of tile_blocks: [g, R, 8, 128] -> [R, B]."""
+    g, R = xt.shape[0], xt.shape[1]
+    return xt.transpose(1, 0, 2, 3).reshape(R, g * TILE_BLOCKS)[:, :B]
+
+
+@functools.lru_cache(maxsize=None)
+def _edge_masks_np(hb, wb, n=1):
+    """Per-block edge bitmask, tiled [g, 8, 128]: bit0 top block-row,
+    bit1 bottom, bit2 left block-col, bit3 right.  For batched inputs
+    (n > 1) the mask is per-image-local, so block (n_i, 0, x) is a top
+    block even though flat neighbors of the previous image precede it."""
+    B = hb * wb
+    bp = _round_up(n * B, TILE_BLOCKS)
+    j = np.arange(bp, dtype=np.int64)
+    b = j % B
+    by, bx = b // wb, b % wb
+    m = ((by == 0) * _BY0 | (by == hb - 1) * _BYN
+         | (bx == 0) * _BX0 | (bx == wb - 1) * _BXN).astype(np.int32)
+    m[n * B:] = 0
+    return m.reshape(bp // TILE_BLOCKS, 8, 128)
+
+
+def edge_masks(hb, wb, n=1):
+    return jnp.asarray(_edge_masks_np(hb, wb, n))
+
+
+def _win_k(wb):
+    """Window radius in tiles so every neighbor shift (<= wb+1) stays
+    inside the concatenated sublane window, borrow row included."""
+    k = 1
+    while k * TILE_BLOCKS < wb + 1 + 128:
+        k += 1
+    return k
+
+
+def _shift_read(pix_refs, row, S, k):
+    """Pixel row `row` of blocks b-S, as an (8, 128) tile value.
+
+    pix_refs: (2k+1) tile refs [64, 8, 128] covering flat blocks
+    [(t-k)*1024, (t+k+1)*1024).  y[s, l] = x_flat[b - S] with
+    b = s*128 + l decomposed as a static sublane slice plus a lane
+    roll with borrow from the previous sublane row.
+    """
+    w = jnp.concatenate([p[row] for p in pix_refs], axis=0)
+    q, r = S // 128, S % 128            # python floor semantics
+    base = k * 8 - q
+    if r == 0:
+        return w[base:base + 8]
+    a = jnp.roll(w[base:base + 8], r, axis=1)
+    b = jnp.roll(w[base - 1:base + 7], r, axis=1)
+    lane = jax.lax.broadcasted_iota(I32, (8, 128), 1)
+    return jnp.where(lane >= r, a, b)
+
+
+def _ring_from_pix(pix_refs, mask, wb, k):
+    """Neighbor lines of every block from the resident pixel window —
+    the in-kernel equivalent of planar.blocks_halo10's ring (same
+    edge-replication and corner semantics, quantsmooth.h:2612-2620).
+
+    Returns (top[8], bottom[8], left[8], right[8], corners(tl,tr,bl,br))
+    of (8, 128) int32 tiles.
+    """
+    c0 = pix_refs[k]
+    by0 = (mask & _BY0) != 0
+    byN = (mask & _BYN) != 0
+    bx0 = (mask & _BX0) != 0
+    bxN = (mask & _BXN) != 0
+    rd = functools.partial(_shift_read, pix_refs, k=k)
+    top = [jnp.where(by0, c0[c], rd(56 + c, wb)) for c in range(8)]
+    bot = [jnp.where(byN, c0[56 + c], rd(c, -wb)) for c in range(8)]
+    left = [jnp.where(bx0, c0[r * 8], rd(r * 8 + 7, 1)) for r in range(8)]
+    right = [jnp.where(bxN, c0[r * 8 + 7], rd(r * 8, -1))
+             for r in range(8)]
+    # corners follow blocks_halo10's concat order: the horizontal
+    # gather reads the neighbor's already-vertically-extended column
+    tl = jnp.where(bx0, jnp.where(by0, c0[0], rd(56, wb)),
+                   jnp.where(by0, rd(7, 1), rd(63, wb + 1)))
+    tr = jnp.where(bxN, jnp.where(by0, c0[7], rd(63, wb)),
+                   jnp.where(by0, rd(0, -1), rd(56, wb - 1)))
+    bl = jnp.where(bx0, jnp.where(byN, c0[56], rd(0, -wb)),
+                   jnp.where(byN, rd(63, 1), rd(7, -(wb - 1))))
+    br = jnp.where(bxN, jnp.where(byN, c0[63], rd(7, -wb)),
+                   jnp.where(byN, rd(56, -1), rd(0, -(wb + 1))))
+    return top, bot, left, right, (tl, tr, bl, br)
+
+
+def _bord_from_pix(pix_refs, mask, wb, k):
+    """Solver border lines [32, 8, 128] (top, bottom, left, right) —
+    in-kernel planar.borders_from_blocks."""
+    top, bot, left, right, _ = _ring_from_pix(pix_refs, mask, wb, k)
+    return jnp.stack(top + bot + left + right)
+
+
+def _halo_from_pix(pix_refs, mask, wb, k):
+    """Full [10, 10, 8, 128] halo — in-kernel planar.blocks_halo10."""
+    top, bot, left, right, (tl, tr, bl, br) = _ring_from_pix(
+        pix_refs, mask, wb, k)
+    ctr = pix_refs[k][...]
+    rows = [jnp.stack([tl] + top + [tr])]
+    for r in range(8):
+        rows.append(jnp.stack([left[r]]
+                              + [ctr[r * 8 + c] for c in range(8)]
+                              + [right[r]]))
+    rows.append(jnp.stack([bl] + bot + [br]))
+    return jnp.stack(rows)
+
+
+# ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
 
 def _solve_kernel(nt, ntp, do_rebalance, fenced, preamble, do_sweep,
                   div_ref, x1_ref, qshr_ref, tab_ref, fence_ref,
-                  coef_ref, aux1_ref, aux2_ref, out_ref, pix_ref,
+                  coef_ref, halo_src, bord_src, i2_src, out_ref, pix_ref,
                   diffs_ref, absd_ref, need_ref):
-    """aux1_ref: borders [32, 8, 128] (preamble None) or the pixel halo
-    [100, 8, 128] (preamble 'joint'/'lq'); aux2_ref: the downsampled-
-    luma halo [100, 8, 128] ('joint' only); pix_ref: optional second
-    output — the IDCT of the final coefficients, so the engine's
-    next-iteration pixels come out of the same kernel instead of a
-    separate XLA idct pass over the whole plane."""
+    """halo_src() -> [10, 10, 8, 128] pixel halo value (preamble
+    'joint'/'lq'); bord_src() -> [32, 8, 128] border lines (preamble
+    None); i2_src() -> the downsampled-luma halo ('joint' only).  The
+    sources either read a materialized aux input or rebuild the lines
+    in VMEM from the resident pixel window (aux_mode='pix').  pix_ref:
+    optional second output — the IDCT of the final coefficients, so the
+    engine's next-iteration pixels come out of the same kernel instead
+    of a separate XLA idct pass over the whole plane."""
     fence = _mkfence(fence_ref[0], fenced)
     out_ref[...] = coef_ref[...]
 
@@ -363,12 +501,12 @@ def _solve_kernel(nt, ntp, do_rebalance, fenced, preamble, do_sweep,
 
     halo = None
     if preamble == "joint":
-        halo = aux1_ref[...].reshape(10, 10, 8, 128)
-        i2 = aux2_ref[...].reshape(10, 10, 8, 128)
+        halo = halo_src()
+        i2 = i2_src()
         fb = _joint_tile(halo, i2, fence, fenced)
         _fdct_clamp_tile(fb, out_ref, div_ref, x1_ref, qshr_ref, fence)
     elif preamble == "lq":
-        halo = aux1_ref[...].reshape(10, 10, 8, 128)
+        halo = halo_src()
         rngv = _lq_range_tile(out_ref, div_ref, fence, fenced)
         fb = _lq_shrink_tile(halo, rngv, fence, fenced)
         _fdct_clamp_tile(fb, out_ref, div_ref, x1_ref, qshr_ref, fence)
@@ -379,13 +517,13 @@ def _solve_kernel(nt, ntp, do_rebalance, fenced, preamble, do_sweep,
         emit_pix()
         return
 
-    if preamble == "joint":
+    if preamble is not None:
         # solver borders are rows/cols of the very halo (the neighbor
         # lines of planar.borders_from_blocks)
         bord = jnp.concatenate([halo[0, 1:9], halo[9, 1:9],
                                 halo[1:9, 0], halo[1:9, 9]])
     else:
-        bord = aux1_ref[...]
+        bord = bord_src()
     need_ref[...] = jnp.ones((8, 128), I32)
 
     for g_is in _GROUPS:
@@ -503,10 +641,17 @@ def _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref):
 @functools.partial(jax.jit, static_argnames=("flags", "do_rebalance",
                                              "interpret", "fenced",
                                              "preamble", "do_sweep",
-                                             "want_pix"))
-def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
-                 do_rebalance, interpret, fenced, preamble=None,
-                 do_sweep=True, want_pix=False):
+                                             "want_pix", "aux_mode",
+                                             "wb"))
+def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
+                 *, flags, do_rebalance, interpret, fenced, preamble=None,
+                 do_sweep=True, want_pix=False, aux_mode="halo", wb=0):
+    """aux_mode='halo': aux1_t is the materialized borders/halo tile
+    array.  aux_mode='pix': aux1_t is the resident pixel tile array
+    [g, 64, 8, 128] (the previous invocation's want_pix output); the
+    kernel reads a (2k+1)-tile window of it plus the edge masks and
+    rebuilds the neighbor lines in VMEM (wb = blocks per row, static).
+    aux2_t: the downsampled-luma halo tiles ('joint' only)."""
     g = coef_t.shape[0]
     if do_sweep:
         nt = _nt_for(flags)
@@ -520,12 +665,25 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
                                fenced, preamble, do_sweep)
     tile = lambda i, *_: (i, 0, 0, 0)
     in_specs = [pl.BlockSpec((1, 64, 8, 128), tile)]
-    if preamble is None:
-        in_specs.append(pl.BlockSpec((1, 32, 8, 128), tile))
+    if aux_mode == "pix":
+        k = _win_k(wb)
+        nw = 2 * k + 1
+        for d in range(-k, k + 1):
+            in_specs.append(pl.BlockSpec(
+                (1, 64, 8, 128),
+                lambda i, *_, d=d: (jnp.clip(i + d, 0, g - 1), 0, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0)))
+        n_in = 2 + nw
     else:
-        in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
-        if preamble == "joint":
+        k = nw = 0
+        if preamble is None:
+            in_specs.append(pl.BlockSpec((1, 32, 8, 128), tile))
+        else:
             in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
+        n_in = 2
+    if preamble == "joint":
+        in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
+        n_in += 1
     out_spec = pl.BlockSpec((1, 64, 8, 128), tile)
     out_specs = (out_spec, out_spec) if want_pix else out_spec
     out_sds = jax.ShapeDtypeStruct(coef_t.shape, jnp.int32)
@@ -541,7 +699,6 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
             pltpu.VMEM((8, 128), I32),
         ],
     )
-    n_in = 3 if preamble == "joint" else 2
     n_out = 2 if want_pix else 1
 
     def kern(div_s, x1_s, qshr_s, tab_s, fence_s, *refs):
@@ -549,13 +706,39 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence, *, flags,
         out_ref = refs[n_in]
         pix_ref = refs[n_in + 1] if want_pix else None
         diffs_ref, absd_ref, need_ref = refs[n_in + n_out:]
+        if aux_mode == "pix":
+            pix_refs = [r.at[0] for r in ins[1:1 + nw]]
+            mask_ref = ins[1 + nw]
+            i2_ref = ins[2 + nw] if preamble == "joint" else None
+
+            def halo_src():
+                return _halo_from_pix(pix_refs, mask_ref[0], wb, k)
+
+            def bord_src():
+                return _bord_from_pix(pix_refs, mask_ref[0], wb, k)
+        else:
+            aux1_ref, i2_ref = ins[1], ins[2] if n_in == 3 else None
+
+            def halo_src():
+                return aux1_ref[0].reshape(10, 10, 8, 128)
+
+            def bord_src():
+                return aux1_ref[0]
+
+        def i2_src():
+            return i2_ref[0].reshape(10, 10, 8, 128)
+
         kernel(div_s, x1_s, qshr_s, tab_s, fence_s,
-               ins[0].at[0], ins[1].at[0],
-               ins[2].at[0] if n_in == 3 else None,
+               ins[0].at[0], halo_src, bord_src, i2_src,
                out_ref.at[0], pix_ref.at[0] if want_pix else None,
                diffs_ref, absd_ref, need_ref)
 
-    args = [coef_t, aux1_t] + ([aux2_t] if preamble == "joint" else [])
+    if aux_mode == "pix":
+        args = [coef_t] + [aux1_t] * nw + [masks_t]
+    else:
+        args = [coef_t, aux1_t]
+    if preamble == "joint":
+        args.append(aux2_t)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -601,7 +784,7 @@ def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
     bord_t = bord_p.reshape(32, g, 8, 128).transpose(1, 0, 2, 3)
     if fence is None:
         fence = jnp.zeros((), I32)
-    out_t = _solve_tiled(coef_t, bord_t, None, div, x1, qshr, fence,
+    out_t = _solve_tiled(coef_t, bord_t, None, None, div, x1, qshr, fence,
                          flags=flags, do_rebalance=do_rebalance,
                          interpret=interpret, fenced=fenced,
                          want_pix=want_pix)
@@ -649,8 +832,8 @@ def solve_fused(coef, halo, image2, div, x1, qshr, flags, do_rebalance,
     aux2_t = tile_halo(image2) if image2 is not None else None
     if fence is None:
         fence = jnp.zeros((), I32)
-    out_t = _solve_tiled(coef_t, aux1_t, aux2_t, div, x1, qshr, fence,
-                         flags=flags, do_rebalance=do_rebalance,
+    out_t = _solve_tiled(coef_t, aux1_t, aux2_t, None, div, x1, qshr,
+                         fence, flags=flags, do_rebalance=do_rebalance,
                          interpret=interpret, fenced=fenced,
                          preamble=preamble, do_sweep=do_sweep,
                          want_pix=want_pix)
@@ -658,3 +841,45 @@ def solve_fused(coef, halo, image2, div, x1, qshr, flags, do_rebalance,
         return (_untile(out_t[0], bp, B),
                 _untile(out_t[1], bp, B).reshape(8, 8, B))
     return _untile(out_t, bp, B)
+
+
+def _prep_pix(interpret, fenced, fence):
+    if jax.default_backend() != "tpu":
+        interpret = True
+    if fenced is None:
+        fenced = interpret or jax.default_backend() != "tpu"
+    if fence is None:
+        fence = jnp.zeros((), I32)
+    return interpret, fenced, fence
+
+
+def solve_rebalance_pix(coef_t, pix_t, masks_t, div, x1, qshr, flags,
+                        do_rebalance, wb, fence=None, interpret=False,
+                        fenced=None, want_pix=True):
+    """Resident-tile solver pass: coef_t/pix_t int32[g, 64, 8, 128]
+    (tile_blocks layout), masks_t from edge_masks.  The kernel rebuilds
+    the solver borders from the pixel window in VMEM — no XLA gather or
+    layout change runs between iterations.  Returns (coef_t, pix_t)
+    (or just coef_t when want_pix=False on the last iteration)."""
+    interpret, fenced, fence = _prep_pix(interpret, fenced, fence)
+    return _solve_tiled(coef_t, pix_t, None, masks_t, div, x1, qshr,
+                        fence, flags=flags, do_rebalance=do_rebalance,
+                        interpret=interpret, fenced=fenced,
+                        want_pix=want_pix, aux_mode="pix", wb=wb)
+
+
+def solve_fused_pix(coef_t, pix_t, masks_t, image2_t, div, x1, qshr,
+                    flags, do_rebalance, wb, fence=None, interpret=False,
+                    fenced=None, want_pix=True):
+    """Resident-tile JOINT_YUV / LOW_QUALITY pass: like solve_fused but
+    the chroma halo is rebuilt in-kernel from the resident pixel tiles;
+    image2_t is the tiled downsampled-luma halo [g, 100, 8, 128]
+    (constant across iterations, tiled once per component)."""
+    interpret, fenced, fence = _prep_pix(interpret, fenced, fence)
+    preamble = "joint" if image2_t is not None else "lq"
+    do_sweep = not (flags & LOW_QUALITY)
+    return _solve_tiled(coef_t, pix_t, image2_t, masks_t, div, x1, qshr,
+                        fence, flags=flags, do_rebalance=do_rebalance,
+                        interpret=interpret, fenced=fenced,
+                        preamble=preamble, do_sweep=do_sweep,
+                        want_pix=want_pix, aux_mode="pix", wb=wb)
