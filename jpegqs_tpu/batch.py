@@ -187,23 +187,20 @@ def _batch_component(coef16, qraw, div, x1, qshr, img2_halos, *, n, hb, wb,
     use_img2 = img2_halos is not None and (flags & JOINT_YUV)
 
     # driver loop as in engine._component_smooth_body: iteration-0
-    # pixels from the dequantized coefs, afterwards the Pallas kernels
-    # emit the refreshed pixels (want_pix)
+    # pixels from the dequantized coefs; on the Pallas path the whole
+    # loop runs on resident tiles with per-image-local edge masks (so
+    # in-kernel neighbor reads never cross image boundaries)
+    from . import engine as _engine
     pix = planar.idct_islow_p(coef.reshape(8, 8, NB))
     pix_n = pix.reshape(8, 8, n, B)
-    for it in range(niter):
-        keep = bool(it < niter - 1 or extra_refresh)
-        newpix = None
-        if pallas_solver.use_pallas() and (use_img2
-                                           or flags & LOW_QUALITY):
-            halos = jax.vmap(lambda p: planar.blocks_halo10(p, hb, wb),
-                             in_axes=2, out_axes=2)(pix_n)
-            out = pallas_solver.solve_fused(
-                coef, halos.reshape(10, 10, NB),
-                img2_halos if use_img2 else None, div, x1, qshr, flags,
-                do_reb, fence=fp32.fence_value(), want_pix=keep)
-            coef, newpix = out if keep else (out, None)
-        elif use_img2 or (flags & LOW_QUALITY):
+    if pallas_solver.use_pallas() and niter > 0:
+        coef, pix = _engine._pallas_resident_iters(
+            coef, pix, img2_halos if use_img2 else None, div, x1, qshr,
+            flags, luma, hb, wb, niter, extra_refresh, n=n)
+        pix_n = pix.reshape(8, 8, n, B)
+    else:
+        for it in range(niter):
+            keep = bool(it < niter - 1 or extra_refresh)
             if use_img2:
                 halos = jax.vmap(
                     lambda p: planar.blocks_halo10(p, hb, wb),
@@ -232,25 +229,9 @@ def _batch_component(coef16, qraw, div, x1, qshr, img2_halos, *, n, hb, wb,
                                              qshr, tables, hb, wb * n)
                 if do_reb:
                     coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
-        else:
-            bt, bb, bl, br = jax.vmap(
-                lambda p: planar.borders_from_blocks(p, hb, wb),
-                in_axes=2, out_axes=1)(pix_n)
-            borders = tuple(b.reshape(8, NB) for b in (bt, bb, bl, br))
-            if pallas_solver.use_pallas():
-                out = pallas_solver.solve_rebalance(
-                    coef, borders, div, x1, qshr, flags, do_reb,
-                    fence=fp32.fence_value(), want_pix=keep)
-                coef, newpix = out if keep else (out, None)
-            else:
-                coef = planar.solve_blocks_p(coef, borders, div, x1, qshr,
-                                             tables, hb, wb * n)
-                if do_reb:
-                    coef = planar.rebalance_blocks_p(coef, div, x1, qshr)
-        if keep:
-            pix = (newpix if newpix is not None
-                   else planar.idct_islow_p(coef.reshape(8, 8, NB)))
-            pix_n = pix.reshape(8, 8, n, B)
+            if keep:
+                pix = planar.idct_islow_p(coef.reshape(8, 8, NB))
+                pix_n = pix.reshape(8, 8, n, B)
 
     out = jnp.where(badv[None, :, None],
                     coef_dq.reshape(64, n, B), coef.reshape(64, n, B))

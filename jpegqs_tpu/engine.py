@@ -106,19 +106,23 @@ def _block_pass_p(coef, pix, image2, div, x1, qshr, flags, tables, luma,
 
 
 def _pallas_resident_iters(coef, pix, img2, div, x1, qshr, flags, luma,
-                           hb, wb, niter, extra_refresh):
+                           hb, wb, niter, extra_refresh, n=1):
     """Pallas driver loop with fully resident tiled state: after the
     iter-0 IDCT, coefficients AND pixels stay in the kernel tile layout
     across iterations; the solver borders / pixel halo are rebuilt in
     VMEM from the resident pixel window each pass
     (pallas_solver._ring_from_pix), so no XLA gather, IDCT, or layout
-    transpose runs between iterations (quantsmooth.h:2580-2651)."""
+    transpose runs between iterations (quantsmooth.h:2580-2651).
+
+    For a batched call (batch.py) the block axis holds n same-shape
+    planes concatenated; the per-image-local edge masks keep the
+    in-kernel neighbor reads from crossing image boundaries."""
     B = coef.shape[1]
     do_reb = not (flags & NO_REBALANCE
                   or (not luma and (flags & NO_REBALANCE_UV)))
     coef_t = pallas_solver.tile_blocks(coef)
     pix_t = pallas_solver.tile_blocks(pix.reshape(64, B))
-    masks_t = pallas_solver.edge_masks(hb, wb)
+    masks_t = pallas_solver.edge_masks(hb, wb, n)
     img2_t = (pallas_solver.tile_blocks(img2.reshape(100, B))
               if img2 is not None else None)
     joint_or_lq = img2 is not None or (flags & LOW_QUALITY)

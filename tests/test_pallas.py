@@ -121,3 +121,105 @@ def test_want_pix_matches_idct():
         div, x1, qshr, 1, True, interpret=True, want_pix=True)
     want = planar.idct_islow_p(jnp.asarray(out).reshape(8, 8, B))
     assert np.array_equal(np.asarray(pix), np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# Resident-pixel kernel variant (aux_mode='pix'): the halo/border lines
+# are rebuilt in VMEM from a tile window of the previous pass's pixels
+# ---------------------------------------------------------------------------
+
+def _pix_case(hb, wb, seed, joint=False, lq=False, do_reb=True):
+    """solve_*_pix (in-kernel halo from resident pixel tiles) must match
+    the materialized-halo kernels bit for bit.  Kept to the non-DIAG
+    sweep (and LQ for the wide window) so the interpret-mode XLA:CPU
+    compiles stay small — the sweep/rebalance bodies themselves are
+    covered by the kernel-vs-spec tests above."""
+    from jpegqs_tpu.ops import pallas_solver as ps
+    B = hb * wb
+    rng = np.random.default_rng(seed)
+    qtbl = rng.integers(1, 120, 64).astype(np.uint16)
+    div, x1, qshr = (jnp.asarray(a) for a in make_quant_tables(qtbl))
+    coef = jnp.asarray(np.clip(
+        rng.integers(-40, 41, (64, B)) * qtbl.astype(np.int32)[:, None],
+        -32768, 32767).astype(np.int32))
+    pix = jnp.asarray(rng.integers(0, 256, (8, 8, B)).astype(np.int32))
+    flags = LOW_QUALITY if lq else 0
+    coef_t = ps.tile_blocks(coef)
+    pix_t = ps.tile_blocks(pix.reshape(64, B))
+    masks_t = ps.edge_masks(hb, wb)
+    halo = planar.blocks_halo10(pix, hb, wb)
+    if joint:
+        i2 = jnp.asarray(rng.integers(0, 256, (10, 10, B)).astype(np.int32))
+        want = solve_fused(coef, halo, i2, div, x1, qshr, flags, do_reb,
+                           interpret=True)
+        got_t = ps.solve_fused_pix(coef_t, pix_t, masks_t,
+                                   ps.tile_blocks(i2.reshape(100, B)),
+                                   div, x1, qshr, flags, do_reb, wb,
+                                   interpret=True, want_pix=False)
+    elif lq:
+        want = solve_fused(coef, halo, None, div, x1, qshr, flags, do_reb,
+                           interpret=True)
+        got_t = ps.solve_fused_pix(coef_t, pix_t, masks_t, None, div, x1,
+                                   qshr, flags, do_reb, wb, interpret=True,
+                                   want_pix=False)
+    else:
+        borders = planar.borders_from_blocks(pix, hb, wb)
+        want = solve_rebalance(coef, borders, div, x1, qshr, flags, do_reb,
+                               interpret=True)
+        got_t, pix_out = ps.solve_rebalance_pix(
+            coef_t, pix_t, masks_t, div, x1, qshr, flags, do_reb, wb,
+            interpret=True)
+        want_pix = planar.idct_islow_p(jnp.asarray(want).reshape(8, 8, B))
+        assert np.array_equal(
+            np.asarray(ps.untile_blocks(pix_out, B).reshape(8, 8, B)),
+            np.asarray(want_pix))
+    got = ps.untile_blocks(got_t, B)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pix_mode_plain():
+    _pix_case(9, 13, seed=21)
+
+
+def test_pix_mode_joint():
+    _pix_case(9, 13, seed=22, joint=True)
+
+
+def test_pix_mode_low_quality():
+    _pix_case(9, 13, seed=23, lq=True)
+
+
+def test_pix_mode_wide_window():
+    """wb+1 > one tile of lanes forces the (2k+1)-tile window with
+    k=2 and index-map clamping at both grid edges.  LQ (full halo, no
+    sweep, no rebalance) keeps the interpret-mode program small."""
+    _pix_case(2, 1100, seed=24, lq=True, do_reb=False)
+
+
+def test_pix_mode_batched_masks():
+    """n same-shape images concatenated on the block axis: the
+    per-image-local edge masks must keep in-kernel neighbor reads from
+    crossing image boundaries (batch.py relies on this)."""
+    from jpegqs_tpu.ops import pallas_solver as ps
+    import jax
+    rng = np.random.default_rng(31)
+    n, hb, wb = 3, 4, 5
+    B = hb * wb
+    NB = n * B
+    qtbl = rng.integers(1, 120, 64).astype(np.uint16)
+    div, x1, qshr = (jnp.asarray(a) for a in make_quant_tables(qtbl))
+    coef = jnp.asarray(np.clip(
+        rng.integers(-40, 41, (64, NB)) * qtbl.astype(np.int32)[:, None],
+        -32768, 32767).astype(np.int32))
+    pix = jnp.asarray(rng.integers(0, 256, (8, 8, NB)).astype(np.int32))
+    pix_n = pix.reshape(8, 8, n, B)
+    halos = jax.vmap(lambda p: planar.blocks_halo10(p, hb, wb),
+                     in_axes=2, out_axes=2)(pix_n).reshape(10, 10, NB)
+    want = solve_fused(coef, halos, None, div, x1, qshr, LOW_QUALITY,
+                       False, interpret=True)
+    got_t = ps.solve_fused_pix(
+        ps.tile_blocks(coef), ps.tile_blocks(pix.reshape(64, NB)),
+        ps.edge_masks(hb, wb, n), None, div, x1, qshr, LOW_QUALITY,
+        False, wb, interpret=True, want_pix=False)
+    got = ps.untile_blocks(got_t, NB)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
