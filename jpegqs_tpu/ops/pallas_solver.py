@@ -256,22 +256,19 @@ _W3 = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
 
 
 def _conv3x3_t(h):
-    """Weighted 3x3 window sums of a [10, 10, 8, 128] halo in f32 —
-    exact: pixel values <= 255 keep every term far below 2^24."""
-    out = jnp.zeros((8, 8, 8, 128), F)
-    for dy in range(3):
-        for dx in range(3):
-            out = out + F(_W3[dy][dx]) * h[dy:dy + 8, dx:dx + 8]
-    return out
+    """Weighted 3x3 window sums of a [10, 10, 8, 128] halo in f32,
+    computed separably ((1,2,1) columns then rows — the (1,2,1)x(1,2,1)
+    outer product IS the reference's weight matrix).  Exact despite the
+    reassociation: every input, partial sum, and output is an integer
+    far below 2^24 (pixels <= 255, products <= 255^2, weighted sums
+    <= 16*255^2), so each f32 add is exact and the value equals the
+    9-term direct sum bit for bit (quantsmooth.h:893-920)."""
+    v = h[0:8] + F(2) * h[1:9] + h[2:10]
+    return v[:, 0:8] + F(2) * v[:, 1:9] + v[:, 2:10]
 
 
 def _conv3x3_prod_t(ha, hb):
-    out = jnp.zeros((8, 8, 8, 128), F)
-    for dy in range(3):
-        for dx in range(3):
-            out = out + F(_W3[dy][dx]) * (ha[dy:dy + 8, dx:dx + 8]
-                                          * hb[dy:dy + 8, dx:dx + 8])
-    return out
+    return _conv3x3_t(ha * hb)
 
 
 def _joint_tile(ch, i2, fence, fenced):
