@@ -37,3 +37,16 @@ def test_big_gray():
     ref = coef_arrays(run_reference(data, 3, 3))
     ours = coef_arrays(smooth_jpeg_bytes(data, QsOptions.from_quality(3, 3)))
     assert np.array_equal(ours[0][0], ref[0][0])
+
+
+def test_4k_420_q6():
+    """BASELINE.json config #4: q6 UPSAMPLE_UV on 4K 4:2:0 — the
+    full color pipeline (JOINT + UPSAMPLE + downsample) at the scale
+    where near-tie rounding rates become visible."""
+    data = make_jpeg(2160, 3840, "photo", seed=79, color=True, quality=85,
+                     subsamp=2)
+    ref = coef_arrays(run_reference(data, 6, 3))
+    ours = coef_arrays(smooth_jpeg_bytes(data, QsOptions.from_quality(6, 3)))
+    for ci, (a, b) in enumerate(zip(ours, ref)):
+        assert np.array_equal(a[0], b[0]), (
+            f"comp {ci}: {(a[0] != b[0]).sum()} diffs")
