@@ -25,15 +25,19 @@ tests/test_sharded.py on a virtual 8-device CPU mesh).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..options import (LOW_QUALITY, JOINT_YUV, UPSAMPLE_UV)
+from ..options import (LOW_QUALITY, JOINT_YUV, UPSAMPLE_UV,
+                       NO_REBALANCE, NO_REBALANCE_UV)
 from ..ops import fp32
 from ..ops import planar
+from ..ops import pallas_solver
 from ..ops.quant import roundf, c_f32_to_i32
 from ..specref import make_solver_tables
 
@@ -107,6 +111,131 @@ def blocks_halo10_sharded(pix, hb_loc, wb, axis):
 
 
 # ---------------------------------------------------------------------------
+# Resident-tile sharded iteration loop (ghost block rows)
+# ---------------------------------------------------------------------------
+# The Pallas path mirrors engine._pallas_resident_iters: coefficients
+# and pixels stay in the kernel tile layout across iterations and the
+# neighbor lines are rebuilt in VMEM.  Cross-shard coupling is handled
+# with GHOST BLOCK ROWS: the local block array is extended by one block
+# row above and below, and each iteration ppermute-exchanges only the
+# boundary pixel lines into the ghosts (the kernel reads nothing else
+# from them — the top ghosts' pixel rows 56..63 and the bottom ghosts'
+# rows 0..7).  The per-rank edge masks carry the reference's
+# edge-replication bits only on the global edge shards, so interior
+# shards read true neighbor pixels from the ghosts
+# (quantsmooth.h:2612-2620; OpenMP barrier analogue 2609->2624).
+
+def _lane_slice(xt, r0, r1, lo, hi):
+    """Rows [r0, r1) x flat lanes [lo, hi) of a tiled [g, R, 8, 128]
+    array -> [r1-r0, hi-lo]."""
+    T = pallas_solver.TILE_BLOCKS
+    g0, g1 = lo // T, (hi + T - 1) // T
+    seg = xt[g0:g1, r0:r1]
+    flat = seg.transpose(1, 0, 2, 3).reshape(r1 - r0, -1)
+    return flat[:, lo - g0 * T:hi - g0 * T]
+
+
+def _lane_update(xt, r0, r1, lo, val):
+    """Write val [r1-r0, w] into rows [r0, r1) x lanes [lo, lo+w)."""
+    T = pallas_solver.TILE_BLOCKS
+    hi = lo + val.shape[1]
+    g0, g1 = lo // T, (hi + T - 1) // T
+    seg = xt[g0:g1, r0:r1]
+    t = g1 - g0
+    flat = seg.transpose(1, 0, 2, 3).reshape(r1 - r0, t * T)
+    flat = jax.lax.dynamic_update_slice(flat, val, (0, lo - g0 * T))
+    seg = flat.reshape(r1 - r0, t, 8, 128).transpose(1, 0, 2, 3)
+    return xt.at[g0:g1, r0:r1].set(seg)
+
+
+@functools.lru_cache(maxsize=None)
+def _ext_mask_parts(hb_loc, wb):
+    """(base, top_add, bottom_add) int32 [g, 8, 128] mask tiles for the
+    ghost-extended local array: left/right replication bits everywhere,
+    top/bottom bits as rank-selected addends for the edge shards."""
+    T = pallas_solver.TILE_BLOCKS
+    Bext = (hb_loc + 2) * wb
+    bp = (Bext + T - 1) // T * T
+    j = np.arange(bp, dtype=np.int64)
+    b = np.minimum(j, Bext - 1)
+    by, bx = b // wb, b % wb
+    base = ((bx == 0) * pallas_solver._BX0
+            | (bx == wb - 1) * pallas_solver._BXN).astype(np.int32)
+    top = ((by == 1) * pallas_solver._BY0).astype(np.int32)
+    bot = ((by == hb_loc) * pallas_solver._BYN).astype(np.int32)
+    base[Bext:] = 0
+    shape = (bp // T, 8, 128)
+    return (base.reshape(shape), top.reshape(shape), bot.reshape(shape))
+
+
+def _exchange_ghosts(pix_t, hb_loc, wb, axis):
+    """ppermute the boundary pixel lines into the ghost rows: the top
+    ghosts receive the upper neighbor's last-row pixel lines (rows
+    56..63), the bottom ghosts the lower neighbor's first-row lines
+    (rows 0..7).  Edge shards keep garbage ghosts — their masks carry
+    the replication bits, so the kernel never reads them."""
+    n = jax.lax.axis_size(axis)
+    if n == 1:
+        return pix_t
+    top_lines = _lane_slice(pix_t, 0, 8, wb, 2 * wb)
+    bot_lines = _lane_slice(pix_t, 56, 64, hb_loc * wb,
+                            (hb_loc + 1) * wb)
+    from_above = jax.lax.ppermute(
+        bot_lines, axis, [(i, i + 1) for i in range(n - 1)])
+    from_below = jax.lax.ppermute(
+        top_lines, axis, [(i + 1, i) for i in range(n - 1)])
+    pix_t = _lane_update(pix_t, 56, 64, 0, from_above)
+    pix_t = _lane_update(pix_t, 0, 8, (hb_loc + 1) * wb, from_below)
+    return pix_t
+
+
+def _sharded_resident_iters(coef, pix, img2_halo, div, x1, qshr, flags,
+                            luma, hb_loc, wb, niter, extra_refresh,
+                            row_axis):
+    """Sharded driver loop on resident tiles: kernel passes with
+    in-VMEM neighbor construction, one boundary-line exchange per
+    iteration.  The ghost rows are computed like real blocks and
+    discarded (2/hb_loc waste — negligible at the plane sizes where
+    multi-chip sharding matters)."""
+    B = hb_loc * wb
+    Bext = (hb_loc + 2) * wb
+    do_reb = not (flags & NO_REBALANCE
+                  or (not luma and (flags & NO_REBALANCE_UV)))
+    pad = ((0, 0), (wb, wb))
+    coef_t = pallas_solver.tile_blocks(jnp.pad(coef, pad))
+    pix_t = pallas_solver.tile_blocks(
+        jnp.pad(pix.reshape(64, B), pad))
+    base, top, bot = _ext_mask_parts(hb_loc, wb)
+    n = jax.lax.axis_size(row_axis)
+    r = jax.lax.axis_index(row_axis)
+    masks_t = (jnp.asarray(base)
+               + jnp.where(r == 0, jnp.asarray(top), 0)
+               + jnp.where(r == n - 1, jnp.asarray(bot), 0))
+    img2_t = (pallas_solver.tile_blocks(
+                  jnp.pad(img2_halo.reshape(100, B), pad))
+              if img2_halo is not None else None)
+    joint_or_lq = img2_halo is not None or (flags & LOW_QUALITY)
+    for it in range(niter):
+        pix_t = _exchange_ghosts(pix_t, hb_loc, wb, row_axis)
+        keep = bool(it < niter - 1 or extra_refresh)
+        if joint_or_lq:
+            out = pallas_solver.solve_fused_pix(
+                coef_t, pix_t, masks_t, img2_t, div, x1, qshr, flags,
+                do_reb, wb, fence=fp32.fence_value(), want_pix=keep)
+        else:
+            out = pallas_solver.solve_rebalance_pix(
+                coef_t, pix_t, masks_t, div, x1, qshr, flags, do_reb,
+                wb, fence=fp32.fence_value(), want_pix=keep)
+        if keep:
+            coef_t, pix_t = out
+        else:
+            coef_t = out
+    coef = pallas_solver.untile_blocks(coef_t, Bext)[:, wb:wb + B]
+    pix = pallas_solver.untile_blocks(pix_t, Bext)[:, wb:wb + B]
+    return coef, pix.reshape(8, 8, B)
+
+
+# ---------------------------------------------------------------------------
 # Per-component sharded smoothing
 # ---------------------------------------------------------------------------
 
@@ -130,18 +259,23 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
     def mkbord(p):
         return borders_from_blocks_sharded(p, hb_loc, wb, row_axis)
 
-    # same driver-loop shape as engine._component_smooth_body: the
-    # Pallas kernel emits the refreshed pixels (want_pix), so only the
-    # iteration-0 pixels need an idct pass
+    # same driver-loop shape as engine._component_smooth_body: on the
+    # Pallas path the whole loop runs on resident tiles with ghost-row
+    # boundary exchanges; the XLA path exchanges materialized halos
     pix = planar.idct_islow_p(coef.reshape(8, 8, B))
-    for it in range(niter):
-        keep = it < niter - 1 or extra_refresh
-        coef, newpix = _engine.block_pass_p(
-            coef, pix, img2_halo, div, x1, qshr, flags, tables, luma,
-            mkhalo, mkbord, hb_loc, wb, want_pix=bool(keep))
-        if keep:
-            pix = (newpix if newpix is not None
-                   else planar.idct_islow_p(coef.reshape(8, 8, B)))
+    if pallas_solver.use_pallas() and niter > 0:
+        coef, pix = _sharded_resident_iters(
+            coef, pix, img2_halo, div, x1, qshr, flags, luma, hb_loc,
+            wb, niter, extra_refresh, row_axis)
+    else:
+        for it in range(niter):
+            keep = it < niter - 1 or extra_refresh
+            coef, newpix = _engine.block_pass_p(
+                coef, pix, img2_halo, div, x1, qshr, flags, tables, luma,
+                mkhalo, mkbord, hb_loc, wb, want_pix=bool(keep))
+            if keep:
+                pix = (newpix if newpix is not None
+                       else planar.idct_islow_p(coef.reshape(8, 8, B)))
     coef = jnp.where(badv, coef_dq, coef)
     coef = jnp.clip(coef, -1023, 1023)
     return coef, pix, badv

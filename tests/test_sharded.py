@@ -308,3 +308,61 @@ def test_engine_auto_sharding(monkeypatch, color, quality):
         assert np.array_equal(got.upsampled[0], want.upsampled[0])
         assert np.array_equal(got.upsampled[1], want.upsampled[1])
     assert got.stop == want.stop
+
+
+# ---------------------------------------------------------------------------
+# Resident-tile sharded path (JPEGQS_PALLAS=1 -> interpret-mode kernels
+# with ghost-row boundary exchange; see sharded._sharded_resident_iters)
+# ---------------------------------------------------------------------------
+
+def test_sharded_resident_matches_single_device(monkeypatch):
+    """Ghost-row resident loop == single-device engine, bit for bit
+    (plain solver path; non-DIAG flags keep interpret compiles small)."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    hb, wb = 16, 12
+    coef16, qtbl = _component(hb, wb, seed=5)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=0, niter=2, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=0, niter=2,
+                             luma=True)
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_resident_joint(monkeypatch):
+    """Ghost-row resident loop, JOINT_YUV chroma with sharded image2."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    hb, wb = 16, 8
+    rng = np.random.default_rng(23)
+    coef16, qtbl = _component(hb, wb, seed=23)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    interior = rng.integers(0, 256, (hb * 8, wb * 8)).astype(np.int32)
+    image2_padded = np.pad(interior, 1, mode="edge")
+    flags = 2  # JOINT_YUV, no DIAGONALS (small interpret programs)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.asarray(image2_padded),
+        hb=hb, wb=wb, flags=flags, niter=2, extra_refresh=0,
+        luma=False, use_image2=True)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags, niter=2,
+                             luma=False, use_image2=True)
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr),
+                   jnp.asarray(interior))
+    assert np.array_equal(np.asarray(got), want)
