@@ -113,6 +113,11 @@ def main(argv=None) -> int:
 
     if opts["backend"]:
         os.environ["JAX_PLATFORMS"] = opts["backend"]
+        # a site hook (e.g. the axon TPU plugin) may have pinned the
+        # platform via jax.config at interpreter startup, where the
+        # env var no longer takes effect — override the config too
+        import jax
+        jax.config.update("jax_platforms", opts["backend"])
 
     # quality ladder -> flags (quantsmooth.c:380-393)
     flags = quality_to_flags(opts["quality"])

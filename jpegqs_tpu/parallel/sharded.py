@@ -89,6 +89,87 @@ def borders_from_blocks_sharded(pix, hb_loc, wb, axis):
             left.reshape(8, B), right.reshape(8, B))
 
 
+def _col_halo_blocks(pix, hb_loc, wb_loc, axis):
+    """Column counterpart of _row_halo_blocks for a 2-D spatial mesh.
+
+    Returns (left_of, right_of) int32[8(row), hb_loc]: the pixel
+    column adjacent to this shard's first / last block column — the
+    horizontal neighbor shard's edge column, or the local edge column
+    at the global image boundary (edge replication,
+    quantsmooth.h:2612-2620).
+    """
+    p = pix.reshape(8, 8, hb_loc, wb_loc)
+    my_left = p[:, 0, :, 0]
+    my_right = p[:, 7, :, -1]
+    n = jax.lax.axis_size(axis)
+    if n == 1:
+        return my_left, my_right
+    c = jax.lax.axis_index(axis)
+    from_left = jax.lax.ppermute(
+        my_right, axis, [(i, i + 1) for i in range(n - 1)])
+    from_right = jax.lax.ppermute(
+        my_left, axis, [(i + 1, i) for i in range(n - 1)])
+    left = jnp.where(c == 0, my_left, from_left)
+    right = jnp.where(c == n - 1, my_right, from_right)
+    return left, right
+
+
+def borders_from_blocks_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis):
+    """2-D-sharded counterpart of planar.borders_from_blocks: solver
+    halo lines with BOTH the cross-row and cross-column shard lines
+    ppermute-exchanged (block grid sharded over a (row, col) mesh)."""
+    p = pix.reshape(8, 8, hb_loc, wb_loc)
+    above, below = _row_halo_blocks(pix, hb_loc, wb_loc, row_axis)
+    lefts, rights = _col_halo_blocks(pix, hb_loc, wb_loc, col_axis)
+    top = jnp.concatenate([above[:, None, :], p[7, :, :-1, :]], axis=1)
+    bottom = jnp.concatenate([p[0, :, 1:, :], below[:, None, :]], axis=1)
+    left = jnp.concatenate([lefts[:, :, None], p[:, 7, :, :-1]], axis=2)
+    right = jnp.concatenate([p[:, 0, :, 1:], rights[:, :, None]], axis=2)
+    B = hb_loc * wb_loc
+    return (top.reshape(8, B), bottom.reshape(8, B),
+            left.reshape(8, B), right.reshape(8, B))
+
+
+def blocks_halo10_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis):
+    """2-D-sharded counterpart of planar.blocks_halo10.
+
+    Exchange order gives correct diagonal corners: the vertical halo
+    (row-axis ppermute) is attached first, then the horizontal edge
+    columns OF THE ROW-EXTENDED array are exchanged on the column
+    axis — the horizontal neighbor's edge column already carries its
+    own exchanged top/bottom lines, i.e. the diagonal shard's corner
+    pixels (same containment argument as the local gather,
+    planar.blocks_halo10)."""
+    p4 = pix.reshape(8, 8, hb_loc, wb_loc)
+    above, below = _row_halo_blocks(pix, hb_loc, wb_loc, row_axis)
+    up = jnp.concatenate([above[None, :, None, :], p4[7:8, :, :-1, :]],
+                         axis=2)
+    dn = jnp.concatenate([p4[0:1, :, 1:, :], below[None, :, None, :]],
+                         axis=2)
+    mid = jnp.concatenate([up, p4, dn], axis=0)      # [10, 8, hb, wb]
+
+    my_left10 = mid[:, 0, :, 0]                      # [10, hb_loc]
+    my_right10 = mid[:, 7, :, -1]
+    n = jax.lax.axis_size(col_axis)
+    if n == 1:
+        left10, right10 = my_left10, my_right10
+    else:
+        c = jax.lax.axis_index(col_axis)
+        from_left = jax.lax.ppermute(
+            my_right10, col_axis, [(i, i + 1) for i in range(n - 1)])
+        from_right = jax.lax.ppermute(
+            my_left10, col_axis, [(i + 1, i) for i in range(n - 1)])
+        left10 = jnp.where(c == 0, my_left10, from_left)
+        right10 = jnp.where(c == n - 1, my_right10, from_right)
+
+    left = jnp.concatenate([left10[:, None, :, None],
+                            mid[:, 7:8, :, :-1]], axis=3)
+    right = jnp.concatenate([mid[:, 0:1, :, 1:],
+                             right10[:, None, :, None]], axis=3)
+    return jnp.concatenate([left, mid, right], axis=1).reshape(
+        10, 10, hb_loc * wb_loc)
+
+
 def blocks_halo10_sharded(pix, hb_loc, wb, axis):
     """Sharded counterpart of planar.blocks_halo10: [10, 10, B] block
     neighborhoods with the cross-shard rows exchanged.  Corners work as
@@ -240,30 +321,46 @@ def _sharded_resident_iters(coef, pix, img2_halo, div, x1, qshr, flags,
 # ---------------------------------------------------------------------------
 
 def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
-                    flags, niter, extra_refresh, luma, tables, row_axis):
+                    flags, niter, extra_refresh, luma, tables, row_axis,
+                    col_axis=None):
     """Local shard of one component pass — the planar analogue of
-    engine._component_smooth_body with ppermute halo gathers."""
+    engine._component_smooth_body with ppermute halo gathers.
+
+    With ``col_axis`` the block grid is sharded over a 2-D spatial
+    (row, col) mesh: both halo directions are ppermute-exchanged and
+    the pass runs through the materialized-halo kernel path (the
+    ghost-row resident-tile loop is a row-axis optimization)."""
     from .. import engine as _engine
 
     B = hb_loc * wb
     prod = coef16.astype(I32).reshape(B, 64).T * qraw[:, None]  # [64, B]
     orv = jnp.bitwise_or.reduce((prod + 0x800).ravel())
     bad_loc = ((orv >> 12) != 0).astype(I32)
-    badv = jax.lax.pmax(bad_loc, row_axis) > 0
+    bad_axes = row_axis if col_axis is None else (row_axis, col_axis)
+    badv = jax.lax.pmax(bad_loc, bad_axes) > 0
     coef = prod.astype(jnp.int16).astype(I32)
     coef_dq = coef
 
-    def mkhalo(p):
-        return blocks_halo10_sharded(p, hb_loc, wb, row_axis)
+    if col_axis is None:
+        def mkhalo(p):
+            return blocks_halo10_sharded(p, hb_loc, wb, row_axis)
 
-    def mkbord(p):
-        return borders_from_blocks_sharded(p, hb_loc, wb, row_axis)
+        def mkbord(p):
+            return borders_from_blocks_sharded(p, hb_loc, wb, row_axis)
+    else:
+        def mkhalo(p):
+            return blocks_halo10_sharded2d(p, hb_loc, wb, row_axis,
+                                           col_axis)
+
+        def mkbord(p):
+            return borders_from_blocks_sharded2d(p, hb_loc, wb, row_axis,
+                                                 col_axis)
 
     # same driver-loop shape as engine._component_smooth_body: on the
     # Pallas path the whole loop runs on resident tiles with ghost-row
     # boundary exchanges; the XLA path exchanges materialized halos
     pix = planar.idct_islow_p(coef.reshape(8, 8, B))
-    if pallas_solver.use_pallas() and niter > 0:
+    if pallas_solver.use_pallas() and niter > 0 and col_axis is None:
         coef, pix = _sharded_resident_iters(
             coef, pix, img2_halo, div, x1, qshr, flags, luma, hb_loc,
             wb, niter, extra_refresh, row_axis)
@@ -283,17 +380,22 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
 
 def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                         extra_refresh=0, luma=True, row_axis="row",
-                        batch_axis=None, use_image2=False,
+                        batch_axis=None, col_axis=None, use_image2=False,
                         want_pix=False):
     """Build a jitted sharded component smoother on the planar fast path.
 
     Returns fn(coef16, qraw, div, x1, qshr[, image2]) -> (coef, badv)
     where coef16 is int16[(batch,)? hb, wb, 64] sharded
-    (batch_axis?, row_axis) over the mesh.  hb must divide evenly by
-    the row-axis size.
+    (batch_axis?, row_axis, col_axis?) over the mesh.  hb must divide
+    evenly by the row-axis size (and wb by the col-axis size).
+
+    With ``col_axis`` the plane is sharded over a 2-D spatial mesh —
+    block rows AND block columns — for very wide images or large
+    slices where row sharding alone runs out of rows; both halo
+    directions (plus the diagonal corners) ride ppermute.
 
     With use_image2 (JOINT_YUV chroma pass), image2 is the downsampled
-    luma plane *interior* int32[hb*8, wb*8], row-sharded like the
+    luma plane *interior* int32[hb*8, wb*8], sharded like the
     coefficients; its 1-pixel halo is exchanged on device alongside
     the component plane's (reference reads image2 through the same
     padded-plane pattern, quantsmooth.h:893-920).
@@ -305,33 +407,42 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     n_rows = mesh.shape[row_axis]
     assert hb % n_rows == 0, f"hb={hb} not divisible by {n_rows} row shards"
     hb_loc = hb // n_rows
+    n_cols = mesh.shape[col_axis] if col_axis is not None else 1
+    assert wb % n_cols == 0, f"wb={wb} not divisible by {n_cols} col shards"
+    assert not (want_pix and col_axis is not None), \
+        "want_pix is a row-sharded-flow hook (flat block axis)"
+    wb_loc = wb // n_cols
     tables = None
     if not (flags & LOW_QUALITY):
         tables = make_solver_tables(flags)
 
     def local_fn(coef16, qraw, div, x1, qshr, image2, fence):
-        # shapes (local): coef16 int16[hb_loc, wb, 64]
+        # shapes (local): coef16 int16[hb_loc, wb_loc, 64]
         with fp32.fence_token(fence):
             img2_halo = None
             if use_image2 and (flags & JOINT_YUV):
-                ds = planar.plane_to_fblocks_p(image2, hb_loc, wb
+                ds = planar.plane_to_fblocks_p(image2, hb_loc, wb_loc
                                                ).astype(I32)
-                img2_halo = blocks_halo10_sharded(ds, hb_loc, wb, row_axis)
+                img2_halo = (
+                    blocks_halo10_sharded(ds, hb_loc, wb_loc, row_axis)
+                    if col_axis is None else
+                    blocks_halo10_sharded2d(ds, hb_loc, wb_loc, row_axis,
+                                            col_axis))
             coef, pix, badv = _component_body(
                 coef16, qraw, div, x1, qshr, img2_halo, hb_loc=hb_loc,
-                wb=wb, flags=flags, niter=niter,
+                wb=wb_loc, flags=flags, niter=niter,
                 extra_refresh=extra_refresh, luma=luma, tables=tables,
-                row_axis=row_axis)
-            out = coef.T.reshape(hb_loc, wb, 64)
+                row_axis=row_axis, col_axis=col_axis)
+            out = coef.T.reshape(hb_loc, wb_loc, 64)
             if want_pix:
                 return out, badv, pix
             return out, badv
 
-    img2_spec = P(row_axis, None)
+    img2_spec = P(row_axis, col_axis)
     if batch_axis is None:
-        in_specs = (P(row_axis, None, None), P(), P(), P(), P(),
+        in_specs = (P(row_axis, col_axis, None), P(), P(), P(), P(),
                     img2_spec, P())
-        out_specs = (P(row_axis, None, None), P())
+        out_specs = (P(row_axis, col_axis, None), P())
         if want_pix:
             out_specs = out_specs + (P(None, None, row_axis),)
         fn = local_fn
@@ -340,9 +451,10 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
             return jax.vmap(
                 lambda c: local_fn(c, qraw, div, x1, qshr, image2,
                                    fence))(coef16)
-        in_specs = (P(batch_axis, row_axis, None, None),
+        in_specs = (P(batch_axis, row_axis, col_axis, None),
                     P(), P(), P(), P(), img2_spec, P())
-        out_specs = (P(batch_axis, row_axis, None, None), P(batch_axis))
+        out_specs = (P(batch_axis, row_axis, col_axis, None),
+                     P(batch_axis))
         if want_pix:
             out_specs = out_specs + (P(batch_axis, None, None, row_axis),)
 
@@ -479,8 +591,9 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
     return run
 
 
-def row_sharding(mesh, row_axis="row", batch_axis=None, batched=False):
+def row_sharding(mesh, row_axis="row", batch_axis=None, batched=False,
+                 col_axis=None):
     """NamedSharding for a coefficient tensor [(N,)? hb, wb, 64]."""
     if batched:
-        return NamedSharding(mesh, P(batch_axis, row_axis, None, None))
-    return NamedSharding(mesh, P(row_axis, None, None))
+        return NamedSharding(mesh, P(batch_axis, row_axis, col_axis, None))
+    return NamedSharding(mesh, P(row_axis, col_axis, None))

@@ -366,3 +366,93 @@ def test_sharded_resident_joint(monkeypatch):
                    jnp.asarray(x1), jnp.asarray(qshr),
                    jnp.asarray(interior))
     assert np.array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("flags,niter", [(1, 2), (8 | 1, 1)])
+def test_sharded_2d_mesh_matches_single_device(flags, niter):
+    """2-D SPATIAL mesh (block rows x block columns): both halo
+    directions and the diagonal corners ride ppermute; output is
+    bit-identical to the single-device engine."""
+    hb, wb = 8, 12
+    coef16, qtbl = _component(hb, wb, seed=71)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=flags, niter=niter, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("row", "col"))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags, niter=niter,
+                             luma=True, col_axis="col")
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh, col_axis="col"))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_2d_mesh_joint_yuv():
+    """JOINT_YUV chroma pass on a 2-D spatial mesh with a 2-D-sharded
+    image2 plane (halo exchange on both axes)."""
+    hb, wb = 8, 8
+    rng = np.random.default_rng(72)
+    coef16, qtbl = _component(hb, wb, seed=72)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    interior = rng.integers(0, 256, (hb * 8, wb * 8)).astype(np.int32)
+    image2_padded = np.pad(interior, 1, mode="edge")
+    flags = 2 | 1  # JOINT_YUV | DIAGONALS
+
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.asarray(image2_padded),
+        hb=hb, wb=wb, flags=flags, niter=2, extra_refresh=0,
+        luma=False, use_image2=True)
+    want = np.asarray(want).reshape(hb, wb, 64)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("row", "col"))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags, niter=2,
+                             luma=False, use_image2=True, col_axis="col")
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh, col_axis="col"))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr),
+                   jnp.asarray(interior))
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_3d_mesh_batch_row_col():
+    """batch DP x 2-D spatial sharding on one 3-axis mesh."""
+    hb, wb, n_batch = 8, 8, 2
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "row", "col"))
+    qtbl = _component(hb, wb, seed=73)[1]
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    coefs = [_component(hb, wb, seed=200 + i)[0] for i in range(n_batch)]
+    batch = np.stack([c.reshape(hb, wb, 64) for c in coefs])
+
+    wants = []
+    for c in coefs:
+        w, _, _ = component_smooth(
+            jnp.asarray(c), jnp.asarray(qraw), jnp.asarray(div),
+            jnp.asarray(x1), jnp.asarray(qshr),
+            jnp.zeros((1, 1), jnp.int32), hb=hb, wb=wb, flags=1, niter=2,
+            extra_refresh=0, luma=True, use_image2=False)
+        wants.append(np.asarray(w).reshape(hb, wb, 64))
+
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=1, niter=2,
+                             luma=True, batch_axis="data", col_axis="col")
+    coef_dev = jax.device_put(
+        batch, row_sharding(mesh, batch_axis="data", batched=True,
+                            col_axis="col"))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    got = np.asarray(got)
+    for i in range(n_batch):
+        assert np.array_equal(got[i], wants[i]), f"image {i}"
