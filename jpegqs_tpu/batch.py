@@ -77,69 +77,90 @@ def smooth_corpus(datas, opts: QsOptions = None, workers: int = 8,
 
     with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
         def open_read(i):
+            f = None
             try:
                 f = JpegCoefFile(datas[i], copy_markers=copy_markers)
                 return f, f.read()
             except Exception as e:            # keep pipeline order
+                if f is not None:
+                    f.close()
                 return None, e
 
         decoded = list(ex.map(open_read, range(n)))
         files = [d[0] for d in decoded]
         imgs = [d[1] for d in decoded]
 
-        buckets = {}
-        for i in range(n):
-            if files[i] is None:
-                errors[i] = imgs[i]
-                continue
-            buckets.setdefault(_img_sig(imgs[i]), []).append(i)
+        try:
+            return _corpus_pipeline(
+                ex, datas, files, imgs, errors, outs, opts, optimize,
+                max_batch, window)
+        finally:
+            # close() is idempotent — encode_one already closed the
+            # successfully-encoded handles; this releases the native
+            # libjpeg state of everything an error path left open
+            for f in files:
+                if f is not None:
+                    f.close()
 
-        # build the dispatch plan: large buckets first keep the device
-        # busiest while small/odd ones trickle through the fallback
-        plan = []
-        for idxs in sorted(buckets.values(), key=len, reverse=True):
-            comp0 = imgs[idxs[0]].components[0]
-            batchable = (len(idxs) > 1 and opts.progress is None
-                         and comp0.h_samp_factor <= 2
-                         and comp0.v_samp_factor <= 2)
-            if batchable:
-                for c0 in range(0, len(idxs), max_batch):
-                    plan.append(idxs[c0:c0 + max_batch])
-            else:
-                plan.extend([i] for i in idxs)
 
-        def encode_one(i, res):
-            f = files[i]
-            for ci in range(len(imgs[i].components)):
-                f.write_coefs(ci, res.coefs[ci])
-            if res.upsampled is not None:
-                f.set_upsampled(res.upsampled[0], res.upsampled[1])
-            out = f.save(optimize=optimize)
-            f.close()
-            return out
+def _corpus_pipeline(ex, datas, files, imgs, errors, outs, opts,
+                     optimize, max_batch, window):
+    from . import engine
 
-        enc_futs = []
-        inflight = []   # (chunk, assemble) dispatched, not yet drained
+    n = len(datas)
+    buckets = {}
+    for i in range(n):
+        if files[i] is None:
+            errors[i] = imgs[i]
+            continue
+        buckets.setdefault(_img_sig(imgs[i]), []).append(i)
 
-        def drain_one():
-            chunk, asm = inflight.pop(0)
-            results = (asm() if asm is not None
-                       else [engine.smooth(imgs[i], opts) for i in chunk])
-            for i, res in zip(chunk, results):
-                enc_futs.append((i, ex.submit(encode_one, i, res)))
+    # build the dispatch plan: large buckets first keep the device
+    # busiest while small/odd ones trickle through the fallback
+    plan = []
+    for idxs in sorted(buckets.values(), key=len, reverse=True):
+        comp0 = imgs[idxs[0]].components[0]
+        batchable = (len(idxs) > 1 and opts.progress is None
+                     and comp0.h_samp_factor <= 2
+                     and comp0.v_samp_factor <= 2)
+        if batchable:
+            for c0 in range(0, len(idxs), max_batch):
+                plan.append(idxs[c0:c0 + max_batch])
+        else:
+            plan.extend([i] for i in idxs)
 
-        for chunk in plan:
-            asm = None
-            if len(chunk) > 1:
-                asm = _batch_dispatch([imgs[i] for i in chunk], opts)
-            inflight.append((chunk, asm))
-            while len(inflight) > window:
-                drain_one()
-        while inflight:
+    def encode_one(i, res):
+        f = files[i]
+        for ci in range(len(imgs[i].components)):
+            f.write_coefs(ci, res.coefs[ci])
+        if res.upsampled is not None:
+            f.set_upsampled(res.upsampled[0], res.upsampled[1])
+        out = f.save(optimize=optimize)
+        f.close()
+        return out
+
+    enc_futs = []
+    inflight = []   # (chunk, assemble) dispatched, not yet drained
+
+    def drain_one():
+        chunk, asm = inflight.pop(0)
+        results = (asm() if asm is not None
+                   else [engine.smooth(imgs[i], opts) for i in chunk])
+        for i, res in zip(chunk, results):
+            enc_futs.append((i, ex.submit(encode_one, i, res)))
+
+    for chunk in plan:
+        asm = None
+        if len(chunk) > 1:
+            asm = _batch_dispatch([imgs[i] for i in chunk], opts)
+        inflight.append((chunk, asm))
+        while len(inflight) > window:
             drain_one()
+    while inflight:
+        drain_one()
 
-        for i, fut in enc_futs:
-            outs[i] = fut.result()
+    for i, fut in enc_futs:
+        outs[i] = fut.result()
 
     for i, err in enumerate(errors):
         if err is not None:

@@ -698,13 +698,14 @@ def _try_smooth_sharded(img, opts: QsOptions):
             _sh.row_sharding(mesh))
         qraw_j, div, x1, qshr = tabs(ci)
         out, badv = fn(coef_dev, qraw_j, div, x1, qshr)
+        # the device result already carries the tripping component's
+        # reference semantics: int16-wrapped dequant merged in via
+        # where(badv, ...) and clamped to +/-1023 (quantsmooth.h:2596-
+        # 2610 break -> 2668-2689 clamp); only LATER components fall
+        # back to the unclamped plain dequant (2551-2566 continue)
+        res.coefs[ci] = np.asarray(out).astype(np.int16)
         if bool(badv):
             stop = 1
-            res.coefs[ci] = np.asarray(dequant_fallback_jit(
-                jnp.asarray(res.coefs[ci].reshape(hb * wb, 64)),
-                jnp.asarray(qraw))).reshape(hb, wb, 64)
-            continue
-        res.coefs[ci] = np.asarray(out).astype(np.int16)
     res.stop = stop
     return res
 
@@ -771,8 +772,13 @@ def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
     up_planes = {}
     flags = opts.flags
 
-    # progress accounting (quantsmooth.h:2474-2482)
+    # progress accounting (quantsmooth.h:2474-2482); prog_next carries
+    # every component's full share — including skipped components'
+    # (no qtable / val<=1) — so later components report the same cur
+    # values as the reference (prog_cur = prog_next at component top,
+    # prog_next += height*v_samp*num_iter unconditionally, h:2487-2492)
     prog_cur = 0
+    prog_next = 0
     prog_max = sum(c.height_in_blocks * c.v_samp_factor * num_iter
                    for c in comps)
     prog_prec = opts.progprec
@@ -793,6 +799,9 @@ def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
         return 1 if opts.progress(opts.userdata, cur, prog_prec) else 0
 
     for ci, comp in enumerate(comps):
+        prog_cur = prog_next
+        prog_next += (comp.height_in_blocks * comp.v_samp_factor
+                      * num_iter)
         qraw = np.asarray(comp.quantval, dtype=np.int32)
         if not qraw.any():
             continue  # no quant table came with this component

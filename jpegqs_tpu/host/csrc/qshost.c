@@ -43,7 +43,31 @@ typedef struct {
     int open_ok;
     int verbose;
     int32_t extra_warnings;  /* encode-side warnings from qs_save */
+    /* qs_save state kept on the heap so the longjmp error path can
+     * restore/free it (locals mutated after setjmp are indeterminate
+     * after longjmp) */
+    uint16_t saved_q[NUM_QUANT_TBLS][DCTSIZE2];
+    int saved_mask;
+    unsigned char *save_buf;
+    unsigned long save_bufsize;
 } qs_handle;
+
+/* undo qs_save's in-place all-1 quantval mutation (both table views) */
+static void qs_restore_qtables(qs_handle *h) {
+    int ci;
+    for (ci = 0; ci < NUM_QUANT_TBLS; ci++) {
+        if (!(h->saved_mask & (1 << ci))) continue;
+        memcpy(h->srcinfo.quant_tbl_ptrs[ci]->quantval, h->saved_q[ci],
+               sizeof(h->saved_q[ci]));
+    }
+    for (ci = 0; ci < h->srcinfo.num_components; ci++) {
+        jpeg_component_info *c = h->srcinfo.comp_info + ci;
+        if (c->quant_table && (h->saved_mask & (1 << c->quant_tbl_no)))
+            memcpy(c->quant_table->quantval, h->saved_q[c->quant_tbl_no],
+                   sizeof(h->saved_q[0]));
+    }
+    h->saved_mask = 0;
+}
 
 typedef struct {
     int32_t image_width;
@@ -234,23 +258,33 @@ QS_EXPORT int qs_save(qs_handle *h, int optimize, int set_qtable_one,
                       uint8_t **out, size_t *out_size) {
     struct jpeg_compress_struct dstinfo;
     struct jpeg_error_mgr jdsterr;
-    unsigned char *buffer = NULL;
-    unsigned long bufsize = 0;
     jpeg_saved_marker_ptr marker;
     int ci, i;
     JQUANT_TBL *qtbl;
-    /* originals stashed so repeated saves see unmutated source tables */
-    uint16_t saved_q[NUM_QUANT_TBLS][DCTSIZE2];
-    int saved_mask = 0;
 
-    if (setjmp(h->env)) return -1;
+    h->saved_mask = 0;
+    h->save_buf = NULL;
+    h->save_bufsize = 0;
+    dstinfo.mem = NULL;
+
+    if (setjmp(h->env)) {
+        /* error mid-compress: restore the mutated source tables and
+         * release the compressor + output buffer before failing */
+        if (dstinfo.mem) jpeg_destroy_compress(&dstinfo);
+        qs_restore_qtables(h);
+        free(h->save_buf);
+        h->save_buf = NULL;
+        return -1;
+    }
 
     if (set_qtable_one) {
+        /* originals stashed (on the handle, longjmp-safe) so repeated
+         * and failed saves see unmutated source tables */
         for (ci = 0; ci < NUM_QUANT_TBLS; ci++) {
             qtbl = h->srcinfo.quant_tbl_ptrs[ci];
             if (!qtbl) continue;
-            memcpy(saved_q[ci], qtbl->quantval, sizeof(saved_q[ci]));
-            saved_mask |= 1 << ci;
+            memcpy(h->saved_q[ci], qtbl->quantval, sizeof(h->saved_q[ci]));
+            h->saved_mask |= 1 << ci;
             for (i = 0; i < DCTSIZE2; i++) qtbl->quantval[i] = 1;
         }
         /* comp_info quant_table may be a private copy, not a
@@ -269,7 +303,7 @@ QS_EXPORT int qs_save(qs_handle *h, int optimize, int set_qtable_one,
     jpeg_create_compress(&dstinfo);
     jpeg_copy_critical_parameters(&h->srcinfo, &dstinfo);
     if (optimize) dstinfo.optimize_coding = TRUE;
-    jpeg_mem_dest(&dstinfo, &buffer, &bufsize);
+    jpeg_mem_dest(&dstinfo, &h->save_buf, &h->save_bufsize);
     jpeg_write_coefficients(&dstinfo, h->coef_arrays);
     /* marker copy with JFIF/Adobe dedup: reference quantsmooth.c:581-590 */
     for (marker = h->srcinfo.marker_list; marker; marker = marker->next) {
@@ -282,22 +316,10 @@ QS_EXPORT int qs_save(qs_handle *h, int optimize, int set_qtable_one,
     jpeg_finish_compress(&dstinfo);
     h->extra_warnings += (int32_t)jdsterr.num_warnings;
     jpeg_destroy_compress(&dstinfo);
-    /* undo the in-place quantval mutation (both table views) */
-    for (ci = 0; ci < NUM_QUANT_TBLS; ci++) {
-        if (!(saved_mask & (1 << ci))) continue;
-        memcpy(h->srcinfo.quant_tbl_ptrs[ci]->quantval, saved_q[ci],
-               sizeof(saved_q[ci]));
-    }
-    if (set_qtable_one) {
-        for (ci = 0; ci < h->srcinfo.num_components; ci++) {
-            jpeg_component_info *c = h->srcinfo.comp_info + ci;
-            if (c->quant_table && (saved_mask & (1 << c->quant_tbl_no)))
-                memcpy(c->quant_table->quantval, saved_q[c->quant_tbl_no],
-                       sizeof(saved_q[0]));
-        }
-    }
-    *out = buffer;
-    *out_size = bufsize;
+    qs_restore_qtables(h);
+    *out = h->save_buf;
+    *out_size = h->save_bufsize;
+    h->save_buf = NULL;
     return 0;
 }
 

@@ -111,7 +111,23 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
 
     spec = P("row", None, None)
     if need_downsample and len(comps) == 3:
-        y, cb = comps[0], comps[1]
+        y, cb, cr = comps[0], comps[1], comps[2]
+        # same eligibility the auto-sharding engine checks
+        # (engine._try_smooth_sharded): aligned plane dims and one
+        # shared chroma quant table — the fused YCbCr program applies
+        # qtabs_c to BOTH chroma planes.  Refuse loudly rather than
+        # produce silently-wrong Cr output or crash at trace time.
+        aligned = (
+            y.height_in_blocks == y.v_samp_factor * cb.height_in_blocks
+            and y.width_in_blocks == y.h_samp_factor * cb.width_in_blocks
+            and cb.height_in_blocks == cr.height_in_blocks
+            and cb.width_in_blocks == cr.width_in_blocks
+            and np.array_equal(cb.quantval, cr.quantval))
+        if not aligned:
+            raise ValueError(
+                "distributed YCbCr color path needs aligned plane dims "
+                "and a shared chroma quant table; use engine.smooth "
+                "(single process) for this file")
         fn = _sh.make_sharded_ycbcr_smooth(
             mesh, hb_l=y.height_in_blocks, wb_l=y.width_in_blocks,
             hb_c=cb.height_in_blocks, wb_c=cb.width_in_blocks,
@@ -129,11 +145,20 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
             res.upsampled = (_gather(ups[0]), _gather(ups[1]))
         return res, img
 
+    stop = 0
     for ci, comp in enumerate(comps):
         qraw = np.asarray(comp.quantval, np.int32)
         if not qraw.any():
             continue
         hb, wb = comp.height_in_blocks, comp.width_in_blocks
+        if stop:
+            # stop propagation (quantsmooth.h:2551-2566): once a
+            # component trips the crafted-file guard, later components
+            # fall back to plain (unclamped) dequantization
+            res.coefs[ci] = np.asarray(engine.dequant_fallback_jit(
+                jnp.asarray(res.coefs[ci].reshape(hb * wb, 64)),
+                jnp.asarray(qraw))).reshape(hb, wb, 64)
+            continue
         assert hb % n_rows == 0, \
             f"comp {ci}: {hb} block rows not divisible by {n_rows} devices"
         fn = _sh.make_sharded_smooth(
@@ -142,9 +167,12 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
         coef = _make_global(np.asarray(comp.coefs, np.int16), mesh, spec)
         qraw_j, div, x1, qshr = tabs(ci)
         out, badv = fn(coef, qraw_j, div, x1, qshr)
+        # the tripping component's result already carries the clamped
+        # dequant fallback (merged in on device, parallel/sharded.py)
         res.coefs[ci] = _gather(out).astype(np.int16)
         if bool(np.asarray(_gather(badv)).ravel()[0]):
-            res.stop = 1
+            stop = 1
+    res.stop = stop
     return res, img
 
 

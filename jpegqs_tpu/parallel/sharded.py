@@ -438,7 +438,11 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                 return out, badv, pix
             return out, badv
 
-    img2_spec = P(row_axis, col_axis)
+    # only a real JOINT_YUV pass reads image2; otherwise feed a tiny
+    # replicated dummy instead of materializing (and transferring) a
+    # full-size zeros plane the traced body never touches
+    img2_live = use_image2 and bool(flags & JOINT_YUV)
+    img2_spec = P(row_axis, col_axis) if img2_live else P()
     if batch_axis is None:
         in_specs = (P(row_axis, col_axis, None), P(), P(), P(), P(),
                     img2_spec, P())
@@ -463,7 +467,8 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
 
     def run(coef16, qraw, div, x1, qshr, image2=None):
         if image2 is None:
-            image2 = jnp.zeros((hb * 8, wb * 8), I32)
+            image2 = jnp.zeros(
+                (hb * 8, wb * 8) if img2_live else (8, 8), I32)
         return sharded(coef16, qraw, div, x1, qshr, image2, jnp.int32(0))
 
     return run

@@ -50,3 +50,77 @@ def test_two_process_matches_single(tmp_path, color, quality):
         ref = (want.upsampled[ci - 1] if want.upsampled is not None
                and ci >= 1 else want.coefs[ci])
         assert np.array_equal(coefs, ref), f"comp {ci}"
+
+
+def test_distributed_stop_propagation_single_process():
+    """smooth_jpeg_distributed (run single-process on the virtual mesh)
+    mirrors the engine's crafted-file semantics: tripping component
+    clamped, later components plain-dequantized, res.stop set."""
+    import numpy as np
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu.options import QsOptions
+    from jpegqs_tpu.parallel.multihost import smooth_jpeg_distributed
+
+    rng = np.random.default_rng(41)
+    # synthetic 2-component non-YCbCr image fed in by stubbing
+    # read_coefficients (no JPEG encoder produces this guard case)
+    from jpegqs_tpu.host.jpegio import JpegImage, ComponentData
+    qtbl = np.full(64, 64, np.uint16)
+    coefs = rng.integers(-5, 6, (2, 8, 8, 64)).astype(np.int16)
+    coefs[0, 0, 0, 3] = 1000
+    img = JpegImage(width=64, height=64, jpeg_color_space=2,
+                    progressive=False, max_h_samp_factor=1,
+                    max_v_samp_factor=1)
+    for ci in range(2):
+        img.components.append(ComponentData(
+            component_id=ci, h_samp_factor=1, v_samp_factor=1,
+            quant_tbl_no=0, width_in_blocks=8, height_in_blocks=8,
+            quantval=qtbl, coefs=coefs[ci].copy()))
+
+    opts = QsOptions.from_quality(3, 2)
+    want = engine._smooth_fused(img, opts)
+
+    orig = jpegio.read_coefficients
+    jpegio.read_coefficients = lambda data: img
+    try:
+        got, _ = smooth_jpeg_distributed(b"unused", opts)
+    finally:
+        jpegio.read_coefficients = orig
+    assert got.stop == want.stop == 1
+    for ci in range(2):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+
+
+def test_distributed_ycbcr_guard_unequal_chroma_tables():
+    """Distinct Cb/Cr quant tables must refuse the fused distributed
+    color path instead of smoothing Cr with Cb's tables."""
+    import numpy as np
+    import pytest as _pytest
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu.host.jpegio import JpegImage, ComponentData
+    from jpegqs_tpu.options import QsOptions
+    from jpegqs_tpu.parallel.multihost import smooth_jpeg_distributed
+
+    rng = np.random.default_rng(42)
+    img = JpegImage(width=128, height=128, jpeg_color_space=3,
+                    progressive=False, max_h_samp_factor=2,
+                    max_v_samp_factor=2)
+    dims = ((16, 16, 2, 2), (8, 8, 1, 1), (8, 8, 1, 1))
+    for ci, (hb, wb, hs, vs) in enumerate(dims):
+        qt = np.full(64, 10 + 3 * ci, np.uint16)  # Cb != Cr tables
+        img.components.append(ComponentData(
+            component_id=ci, h_samp_factor=hs, v_samp_factor=vs,
+            quant_tbl_no=min(ci, 1), width_in_blocks=wb,
+            height_in_blocks=hb,
+            quantval=qt,
+            coefs=rng.integers(-5, 6, (hb, wb, 64)).astype(np.int16)))
+
+    orig = jpegio.read_coefficients
+    jpegio.read_coefficients = lambda data: img
+    try:
+        with _pytest.raises(ValueError, match="chroma quant table"):
+            smooth_jpeg_distributed(
+                b"unused", QsOptions(flags=2 | 1, niter=2))
+    finally:
+        jpegio.read_coefficients = orig

@@ -95,3 +95,50 @@ def test_progress_cancel_trace_and_output():
         dq = (c.coefs.astype(np.int32)
               * c.quantval.astype(np.int32)[None, None, :]).astype(np.int16)
         assert np.array_equal(res.coefs[ci], dq)
+
+
+def _patch_dqt_to_one(data: bytes, table_id: int = 0) -> bytes:
+    """Overwrite one DQT table's entries with 1 in the JPEG bytestream,
+    making that component 'already processed' (val <= 1,
+    quantsmooth.h:2500-2501) while others still smooth."""
+    b = bytearray(data)
+    i = 2
+    while i < len(b) - 3:
+        if b[i] != 0xFF:
+            break
+        m = b[i + 1]
+        if m == 0xD8:
+            i += 2
+            continue
+        if m == 0xDA:
+            break
+        ln = (b[i + 2] << 8) | b[i + 3]
+        if m == 0xDB:
+            j = i + 4
+            end = i + 2 + ln
+            while j < end:
+                pq, tq = b[j] >> 4, b[j] & 15
+                n = 64 * (2 if pq else 1)
+                if tq == table_id:
+                    for k in range(64):
+                        if pq:
+                            b[j + 1 + 2 * k] = 0
+                            b[j + 2 + 2 * k] = 1
+                        else:
+                            b[j + 1 + k] = 1
+                j += 1 + n
+        i += 2 + ln
+    return bytes(b)
+
+
+@pytest.mark.parametrize("flags", [1, 3])
+def test_progress_skipped_component_share(flags):
+    """A skipped component (all-1 quant table -> num_iter2 = 0) still
+    contributes its share to the progress numerator: the reference
+    advances prog_next unconditionally at the top of every component
+    (quantsmooth.h:2487-2492), so later components report from that
+    offset."""
+    data = make_jpeg(120, 112, "photo", seed=6, color=True, quality=70,
+                     subsamp=1)
+    data = _patch_dqt_to_one(data)   # luma table -> all 1
+    assert our_trace(data, flags, 3, 0) == ref_trace(data, flags, 3, 0)

@@ -456,3 +456,35 @@ def test_sharded_3d_mesh_batch_row_col():
     got = np.asarray(got)
     for i in range(n_batch):
         assert np.array_equal(got[i], wants[i]), f"image {i}"
+
+
+def test_engine_auto_sharding_crafted_file(monkeypatch):
+    """badv through the auto-sharded per-component path matches the
+    fused engine: the tripping plane is int16-wrapped dequant clamped
+    to +/-1023, later planes plain (unclamped) dequant
+    (quantsmooth.h:2596-2610 + 2668-2689 vs 2551-2566)."""
+    from jpegqs_tpu.host.jpegio import JpegImage, ComponentData
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    rng = np.random.default_rng(31)
+    qtbl = np.full(64, 64, np.uint16)
+    coefs = rng.integers(-5, 6, (2, 8, 8, 64)).astype(np.int16)
+    coefs[0, 0, 0, 3] = 1000  # comp 0 trips the |coef*q| guard
+    img = JpegImage(width=64, height=64, jpeg_color_space=2,  # not YCbCr
+                    progressive=False, max_h_samp_factor=1,
+                    max_v_samp_factor=1)
+    for ci in range(2):
+        img.components.append(ComponentData(
+            component_id=ci, h_samp_factor=1, v_samp_factor=1,
+            quant_tbl_no=0, width_in_blocks=8, height_in_blocks=8,
+            quantval=qtbl, coefs=coefs[ci].copy()))
+
+    opts = QsOptions.from_quality(3, 2)
+    want = engine._smooth_fused(img, opts)
+    monkeypatch.setenv("JPEGQS_SHARD_MIN_BLOCKS", "0")
+    got = engine._try_smooth_sharded(img, opts)
+    assert got is not None, "sharded path should apply"
+    assert got.stop == want.stop == 1
+    for ci in range(2):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
