@@ -107,15 +107,17 @@ def main():
         32, g, 8, 128).transpose(1, 0, 2, 3)
     ktime = timeit("solve kernel only (pre-tiled)",
                    lambda: pallas_solver._solve_tiled(
-                       coef_t, bord_t, div, x1, qshr, fence, flags=flags,
-                       do_rebalance=True, interpret=False, fenced=False),
+                       coef_t, bord_t, None, None, div, x1, qshr, fence,
+                       flags=flags, do_rebalance=True, interpret=False,
+                       fenced=False),
                    mp=mp)
 
     # kernel without rebalance
     timeit("solve kernel, no rebalance",
            lambda: pallas_solver._solve_tiled(
-               coef_t, bord_t, div, x1, qshr, fence, flags=flags,
-               do_rebalance=False, interpret=False, fenced=False), mp=mp)
+               coef_t, bord_t, None, None, div, x1, qshr, fence,
+               flags=flags, do_rebalance=False, interpret=False,
+               fenced=False), mp=mp)
 
     # VPU roofline estimate for the sweep
     nt = pallas_solver._nt_for(flags)

@@ -106,9 +106,9 @@ def main():
     for flags, reb, tag in ((1, True, "diag+reb"), (1, False, "diag"),
                             (0, True, "nodiag+reb")):
         dt = timeit(f"solve kernel {tag}", functools.partial(
-            pallas_solver._solve_tiled, coef_t, bord_t, div, x1, qshr,
-            fence, flags=flags, do_rebalance=reb, interpret=False,
-            fenced=False))
+            pallas_solver._solve_tiled, coef_t, bord_t, None, None,
+            div, x1, qshr, fence, flags=flags, do_rebalance=reb,
+            interpret=False, fenced=False))
         nt = pallas_solver._nt_for(flags)
         ntp = pallas_solver._round_up(nt, 8)
         net = max(dt - overhead, 1e-9)
