@@ -39,6 +39,8 @@ Options:
   -c, --copy n      Marker copy: 0 - none, 1 - comments, 2 - all (default)
       --backend s   JAX platform: tpu (default), cpu
       --trace dir   Write an XLA profiler trace of the smoothing phase
+      --batch       Batch mode: inputs... outdir — smooth many files
+                    through the bucketed batch pipeline (batch.py)
 """
 
 
@@ -47,7 +49,7 @@ def parse_args(argv):
     opts = {
         "optimize": False, "verbose": 0, "info": 15, "copy": 2,
         "quality": 3, "niter": -1, "flags": -1, "threads": 0,
-        "backend": None, "trace": None,
+        "backend": None, "trace": None, "batch": False,
     }
     short = {"o": "--optimize", "v": "--verbose", "i": "--info",
              "n": "--niter", "q": "--quality", "t": "--threads",
@@ -75,8 +77,8 @@ def parse_args(argv):
         if "=" in name:
             name, val = name.split("=", 1)
         key = name[2:]
-        if key == "optimize":
-            opts["optimize"] = True
+        if key in ("optimize", "batch"):
+            opts[key] = True
             i += 1
             continue
         if key == "cpu":  # accepted, no effect on TPU (libjpegqs.c:40-57)
@@ -107,7 +109,7 @@ def main(argv=None) -> int:
     except SystemExit as e:
         print(e, file=sys.stderr)
         return 1
-    if len(pos) != 2:
+    if (len(pos) < 2) if opts["batch"] else (len(pos) != 2):
         sys.stderr.write(HELP)
         return 1
 
@@ -125,6 +127,11 @@ def main(argv=None) -> int:
         flags = opts["flags"] & FLAGS_MASK
     niter = opts["niter"] if opts["niter"] >= 0 else 3
     info = opts["info"]
+
+    qs_opts_common = dict(flags=flags, niter=niter,
+                          threads=opts["threads"])
+    if opts["batch"]:
+        return _main_batch(pos[:-1], pos[-1], opts, qs_opts_common)
 
     from .host.jpegio import JpegCoefFile
     from . import engine
@@ -210,6 +217,50 @@ def main(argv=None) -> int:
     # libjpeg warned (damaged input etc.) -> exit 2, like the reference
     # (quantsmooth.c:626: jsrcerr.num_warnings + jdsterr.num_warnings)
     return 2 if num_warnings else 0
+
+
+def _main_batch(infiles, outdir, opts, qs_kw) -> int:
+    """--batch: smooth many files through the bucketed corpus pipeline
+    (batch.smooth_corpus) into an output directory."""
+    from .batch import smooth_corpus
+
+    datas = []
+    for p in infiles:
+        try:
+            with open(p, "rb") as f:
+                datas.append(f.read())
+        except OSError:
+            print(f'{PROGNAME}: can\'t open input file "{p}"',
+                  file=sys.stderr)
+            return 1
+    try:
+        os.makedirs(outdir, exist_ok=True)
+    except OSError:
+        print(f'{PROGNAME}: can\'t create output directory "{outdir}"',
+              file=sys.stderr)
+        return 1
+    t0 = time.monotonic()
+    try:
+        outs = smooth_corpus(datas, QsOptions(**qs_kw),
+                             optimize=bool(opts["optimize"]),
+                             copy_markers=opts["copy"])
+    except ValueError as e:
+        print(f"{PROGNAME}: {e}", file=sys.stderr)
+        return 1
+    elapsed = (time.monotonic() - t0) * 1000
+    for p, out in zip(infiles, outs):
+        dest = os.path.join(outdir, os.path.basename(p))
+        try:
+            with open(dest, "wb") as f:
+                f.write(out)
+        except OSError:
+            print(f'{PROGNAME}: can\'t open output file "{dest}"',
+                  file=sys.stderr)
+            return 1
+    if opts["info"] & 8:
+        print(f"time: {elapsed:.3f} ms ({len(outs)} files)",
+              file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -470,9 +470,11 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
     per-component dispatches so the host can interleave.
 
     On a multi-device mesh (len(jax.devices()) > 1) large images are
-    automatically row-sharded across the devices (parallel/sharded.py)
-    — bit-identical output, the TPU equivalent of the reference's
-    OpenMP row loop (quantsmooth.h:2552-2554).
+    automatically sharded across the devices (parallel/sharded.py) —
+    block rows first, block columns for devices that row divisibility
+    would strand (_shard_grid) — bit-identical output, the TPU
+    equivalent of the reference's OpenMP row loop
+    (quantsmooth.h:2552-2554).
     """
     if opts.progress is None:
         res = _try_smooth_sharded(img, opts)
@@ -576,14 +578,25 @@ def _row_mesh(n_rows):
     return mesh
 
 
-def _shard_rows(img, opts):
-    """Pick the row-axis size for auto-sharding, or None.
+def _shard_grid(img, opts, allow_col=True):
+    """Pick the (rows, cols) spatial shard grid for auto-sharding, or
+    None.
 
     Conditions: >1 device, image big enough to beat the per-exchange
     overhead (override threshold with JPEGQS_SHARD_MIN_BLOCKS), every
-    component's block-row count divisible by the chosen size, all
-    quant tables clean (the val<=1 / crafted-file shortcuts keep the
-    single-device path), and sampling factors <= 2.
+    component's block-row count divisible by the row-axis size (and
+    block-column count by the col-axis size), all quant tables clean
+    (the val<=1 / crafted-file shortcuts keep the single-device path),
+    and sampling factors <= 2.
+
+    The grid maximizes device count; ties prefer more rows (the
+    row-sharded flow runs the resident-tile kernel loop,
+    sharded._sharded_resident_iters).  A second ``col`` mesh axis picks
+    up devices that row divisibility alone would strand — e.g. a
+    14144x7072 pano (884/442 block rows, 2-adic valuation 2) row-shards
+    only 2 ways on 8 devices but grid-shards 2x4
+    (sharded.borders_from_blocks_sharded2d handles both halo
+    directions, corners included).
     """
     import os
     import jax
@@ -605,21 +618,41 @@ def _shard_rows(img, opts):
         val = int(np.bitwise_or.reduce(q))
         if val <= 1 or val >= 0x800:
             return None
-    r = 0
-    for cand in range(min(ndev, comps[0].height_in_blocks), 1, -1):
-        if all(c.height_in_blocks % cand == 0 for c in comps):
-            r = cand
+    hbs = [c.height_in_blocks for c in comps]
+    wbs = [c.width_in_blocks for c in comps]
+    best = (1, 1)
+    for r in range(min(ndev, min(hbs)), 0, -1):
+        if any(h % r for h in hbs):
+            continue
+        c = 1
+        if allow_col:
+            for cc in range(min(ndev // r, min(wbs)), 1, -1):
+                if all(w % cc == 0 for w in wbs):
+                    c = cc
+                    break
+        if r * c > best[0] * best[1]:
+            best = (r, c)
+        if r * c == ndev:
             break
-    return r if r >= 2 else None
+    return best if best[0] * best[1] >= 2 else None
+
+
+def _grid_mesh(n_rows, n_cols):
+    import jax
+    from jax.sharding import Mesh
+    key = (n_rows, n_cols)
+    mesh = _MESH_CACHE.get(key)
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:n_rows * n_cols]).reshape(
+            n_rows, n_cols), ("row", "col"))
+        _MESH_CACHE[key] = mesh
+    return mesh
 
 
 def _try_smooth_sharded(img, opts: QsOptions):
     """Auto-sharded engine run, or None when it doesn't apply."""
     from .parallel import sharded as _sh
 
-    r = _shard_rows(img, opts)
-    if r is None:
-        return None
     comps = img.components
     flags = opts.flags
     niter = min(max(opts.niter, 0), ITER_MAX)
@@ -628,7 +661,14 @@ def _try_smooth_sharded(img, opts: QsOptions):
         and len(comps) >= 3
         and comps[1].h_samp_factor == 1 and comps[1].v_samp_factor == 1
         and comps[2].h_samp_factor == 1 and comps[2].v_samp_factor == 1)
-    mesh = _row_mesh(r)
+    # the whole-image YCbCr flow is row-sharded only; the independent
+    # per-component path can use a 2-D (row x col) spatial mesh
+    grid = _shard_grid(img, opts, allow_col=not need_downsample)
+    if grid is None:
+        return None
+    r, ncol = grid
+    mesh = _row_mesh(r) if ncol == 1 else _grid_mesh(r, ncol)
+    col_axis = None if ncol == 1 else "col"
 
     def tabs(ci):
         qraw = np.asarray(comps[ci].quantval, np.int32)
@@ -687,15 +727,16 @@ def _try_smooth_sharded(img, opts: QsOptions):
                 jnp.asarray(qraw))).reshape(hb, wb, 64)
             continue
         luma = (ci == 0) or not img.is_ycbcr
-        key = ("comp", r, hb, wb, flags, niter, luma)
+        key = ("comp", r, ncol, hb, wb, flags, niter, luma)
         fn = _SHARD_FN_CACHE.get(key)
         if fn is None:
             fn = _sh.make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags,
-                                         niter=niter, luma=luma)
+                                         niter=niter, luma=luma,
+                                         col_axis=col_axis)
             _SHARD_FN_CACHE[key] = fn
         coef_dev = jax.device_put(
             np.asarray(comp.coefs, np.int16).reshape(hb, wb, 64),
-            _sh.row_sharding(mesh))
+            _sh.row_sharding(mesh, col_axis=col_axis))
         qraw_j, div, x1, qshr = tabs(ci)
         out, badv = fn(coef_dev, qraw_j, div, x1, qshr)
         # the device result already carries the tripping component's

@@ -361,9 +361,13 @@ static void qs_simple_error_exit(j_common_ptr cinfo) {
 
 /* Encode interleaved pixels (ncomp 1=gray, 3=RGB, 4=CMYK) to JPEG.
  * subsamp: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2, 3 = 4:4:0,
- *          4 = 4:1:1 (luma 4x1), 5 = luma 4x2 (exotic). */
+ *          4 = 4:1:1 (luma 4x1), 5 = luma 4x2 (exotic).
+ * arith: arithmetic entropy coding (the reference reads/writes these
+ * through the same libjpeg paths, quantsmooth.c:548-549, 579).
+ * restart_interval: emit DRI/RSTn markers every N MCUs (0 = none). */
 QS_EXPORT int qs_encode(const uint8_t *pixels, int w, int hgt, int ncomp,
                         int quality, int subsamp, int progressive,
+                        int arith, int restart_interval,
                         uint8_t **out, size_t *out_size) {
     struct jpeg_compress_struct cinfo;
     qs_simple_err err;
@@ -403,6 +407,8 @@ QS_EXPORT int qs_encode(const uint8_t *pixels, int w, int hgt, int ncomp,
         } /* default (1) is 2x2 = 4:2:0 */
     }
     if (progressive) jpeg_simple_progression(&cinfo);
+    if (arith) cinfo.arith_code = TRUE;
+    if (restart_interval > 0) cinfo.restart_interval = restart_interval;
     jpeg_start_compress(&cinfo, TRUE);
     for (y = 0; y < hgt; y++) {
         JSAMPROW row = (JSAMPROW)(pixels + (size_t)y * w * ncomp);

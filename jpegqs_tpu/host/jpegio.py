@@ -94,6 +94,7 @@ def get_lib() -> ctypes.CDLL:
     lib.qs_encode.restype = ctypes.c_int
     lib.qs_encode.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                               ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, ctypes.c_int,
                               ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                               ctypes.POINTER(ctypes.c_size_t)]
     lib.qs_decode.restype = ctypes.c_int
@@ -248,9 +249,11 @@ def read_coefficients(data: bytes) -> JpegImage:
 
 
 def encode_pixels(pixels: np.ndarray, quality: int = 75, subsamp: int = 1,
-                  progressive: bool = False) -> bytes:
+                  progressive: bool = False, arith: bool = False,
+                  restart_interval: int = 0) -> bytes:
     """Encode uint8 pixels (H,W) gray, (H,W,3) RGB or (H,W,4) CMYK to
-    JPEG bytes."""
+    JPEG bytes.  ``arith`` selects arithmetic entropy coding;
+    ``restart_interval`` emits DRI/RSTn markers every N MCUs."""
     lib = get_lib()
     pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
     if pixels.ndim == 2:
@@ -263,7 +266,8 @@ def encode_pixels(pixels: np.ndarray, quality: int = 75, subsamp: int = 1,
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     if lib.qs_encode(pixels.ctypes.data_as(ctypes.c_void_p), w, h, ncomp,
-                     quality, subsamp, int(progressive),
+                     quality, subsamp, int(progressive), int(arith),
+                     int(restart_interval),
                      ctypes.byref(out), ctypes.byref(out_size)) != 0:
         raise ValueError("encode failed")
     try:

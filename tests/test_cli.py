@@ -141,6 +141,33 @@ def test_cli_verbose_accepted(tmp_path, capfd):
     assert rc == 0
 
 
+def test_cli_batch_mode(tmp_path, capfd):
+    """--batch inputs... outdir: every output matches the reference's
+    per-file result (the corpus pipeline must not change results)."""
+    datas = [
+        make_jpeg(48, 48, "photo", seed=41, quality=70),
+        make_jpeg(48, 48, "photo", seed=42, quality=70),  # same bucket
+        make_jpeg(40, 56, "edges", seed=43, quality=80),  # different
+    ]
+    names = []
+    for i, d in enumerate(datas):
+        p = tmp_path / f"in{i}.jpg"
+        p.write_bytes(d)
+        names.append(p)
+    outdir = tmp_path / "out"
+    rc, _ = run_cli(["--batch", "-q", "0", "-n", "1", "-i", "0",
+                     *map(str, names), str(outdir)])
+    capfd.readouterr()
+    assert rc == 0
+    for i, (p, d) in enumerate(zip(names, datas)):
+        ref = tmp_path / f"ref{i}.jpg"
+        rc_r, _ = run_ref(["-q", "0", "-n", "1", "-i", "0",
+                           str(p), str(ref)])
+        assert rc_r == 0
+        got = (outdir / p.name).read_bytes()
+        assert_same_coefs(got, ref.read_bytes())
+
+
 def test_num_warnings_accessor():
     from jpegqs_tpu.host.jpegio import JpegCoefFile
     data = make_jpeg(64, 64, "photo", seed=4, quality=80)

@@ -260,6 +260,26 @@ def test_niter_clamp_at_100():
     assert np.array_equal(a.coefs[0], b.coefs[0])
 
 
+@pytest.mark.parametrize("quality", [3, 6])
+def test_arithmetic_coded_input(quality):
+    """Arithmetic-coded JPEGs: the coefficient planes reach the engine
+    through the same libjpeg paths the reference uses
+    (quantsmooth.c:548-549, 579); the output stays arithmetic-coded via
+    jpeg_copy_critical_parameters, on both sides."""
+    assert_matches_reference(
+        make_jpeg(56, 64, "photo", seed=31, color=True, quality=70,
+                  subsamp=1, arith=True), quality, 3)
+
+
+def test_restart_interval_input():
+    """DRI/RSTn-marked streams decode to the same coefficient planes;
+    the interval survives into the output (libjpeg critical params)."""
+    data = make_jpeg(64, 56, "photo", seed=32, quality=70,
+                     restart_interval=3)
+    assert b"\xff\xdd" in data  # DRI present in the fixture
+    assert_matches_reference(data, 3, 3)
+
+
 @pytest.mark.parametrize("flags", [16 | 1, 32 | 2 | 1, 48 | 2 | 1])
 def test_no_rebalance_flag_combos(flags):
     """NO_REBALANCE / NO_REBALANCE_UV per-component gating

@@ -310,6 +310,32 @@ def test_engine_auto_sharding(monkeypatch, color, quality):
     assert got.stop == want.stop
 
 
+@pytest.mark.parametrize("h,w,color,want_grid", [
+    (16, 256, False, (2, 4)),   # 2 block rows strand 6 devices -> 2x4
+    (16, 512, True, (1, 8)),    # 4:2:0 chroma has ONE block row -> 1x8
+])
+def test_engine_auto_sharding_2d_grid(monkeypatch, h, w, color, want_grid):
+    """When row divisibility alone can't use every device, the engine
+    auto-selects a 2-D (row x col) spatial grid — bit-identical to the
+    single-device program (both ppermute halo directions + corners)."""
+    from util import make_jpeg
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    data = make_jpeg(h, w, "photo", seed=19, color=color, quality=70)
+    img = jpegio.read_coefficients(data)
+    opts = QsOptions.from_quality(3, 2)
+    monkeypatch.setenv("JPEGQS_SHARD_MIN_BLOCKS", "0")
+    assert engine._shard_grid(img, opts) == want_grid
+    want = engine._smooth_fused(img, opts)
+    got = engine._try_smooth_sharded(img, opts)
+    assert got is not None, "sharded path should apply"
+    for ci in range(len(img.components)):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+    assert got.stop == want.stop
+
+
 # ---------------------------------------------------------------------------
 # Resident-tile sharded path (JPEGQS_PALLAS=1 -> interpret-mode kernels
 # with ghost-row boundary exchange; see sharded._sharded_resident_iters)

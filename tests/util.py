@@ -73,11 +73,13 @@ def synth_image(h: int, w: int, kind: str = "photo", seed: int = 0,
 
 def make_jpeg(h: int, w: int, kind: str = "photo", seed: int = 0,
               color: bool = False, quality: int = 75, subsamp: int = 1,
-              progressive: bool = False) -> bytes:
+              progressive: bool = False, arith: bool = False,
+              restart_interval: int = 0) -> bytes:
     from jpegqs_tpu.host import jpegio
     return jpegio.encode_pixels(synth_image(h, w, kind, seed, color),
                                 quality=quality, subsamp=subsamp,
-                                progressive=progressive)
+                                progressive=progressive, arith=arith,
+                                restart_interval=restart_interval)
 
 
 def coef_arrays(data: bytes):
