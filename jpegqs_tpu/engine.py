@@ -661,12 +661,19 @@ def _try_smooth_sharded(img, opts: QsOptions):
         and len(comps) >= 3
         and comps[1].h_samp_factor == 1 and comps[1].v_samp_factor == 1
         and comps[2].h_samp_factor == 1 and comps[2].v_samp_factor == 1)
-    # the whole-image YCbCr flow is row-sharded only; the independent
-    # per-component path can use a 2-D (row x col) spatial mesh
-    grid = _shard_grid(img, opts, allow_col=not need_downsample)
+    grid = _shard_grid(img, opts)
     if grid is None:
         return None
     r, ncol = grid
+    if need_downsample and ncol > 1 and \
+            comps[0].width_in_blocks // ncol < 2:
+        # col-sharded UPSAMPLE needs the right-tail source column
+        # shard-local (planar.upsample_chroma_blocks) — fall back to
+        # the best row-only split for pathologically narrow planes
+        grid = _shard_grid(img, opts, allow_col=False)
+        if grid is None:
+            return None
+        r, ncol = grid
     mesh = _row_mesh(r) if ncol == 1 else _grid_mesh(r, ncol)
     col_axis = None if ncol == 1 else "col"
 
@@ -688,7 +695,7 @@ def _try_smooth_sharded(img, opts: QsOptions):
                    and np.array_equal(cb.quantval, cr.quantval))
         if not aligned or len(comps) != 3:
             return None
-        key = ("ycbcr", r, y.height_in_blocks, y.width_in_blocks,
+        key = ("ycbcr", r, ncol, y.height_in_blocks, y.width_in_blocks,
                cb.height_in_blocks, cb.width_in_blocks, ws, hs, flags,
                niter, img.width, img.height)
         fn = _SHARD_FN_CACHE.get(key)
@@ -697,9 +704,9 @@ def _try_smooth_sharded(img, opts: QsOptions):
                 mesh, hb_l=y.height_in_blocks, wb_l=y.width_in_blocks,
                 hb_c=cb.height_in_blocks, wb_c=cb.width_in_blocks,
                 ws=ws, hs=hs, flags=flags, niter=niter,
-                img_w=img.width, img_h=img.height)
+                img_w=img.width, img_h=img.height, col_axis=col_axis)
             _SHARD_FN_CACHE[key] = fn
-        sh = _sh.row_sharding(mesh)
+        sh = _sh.row_sharding(mesh, col_axis=col_axis)
         put = lambda c: jax.device_put(
             np.asarray(c.coefs, np.int16).reshape(
                 c.height_in_blocks, c.width_in_blocks, 64), sh)

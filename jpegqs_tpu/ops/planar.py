@@ -398,7 +398,8 @@ def _lowres_to_hires_blocks(x, hb_l, wb_l, hb_c, wb_c, ws, hs):
 
 def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
                            img_w, img_h, ws, hs, hb_l, wb_l, hb_c, wb_c,
-                           row0=0, hb_l_total=None):
+                           row0=0, hb_l_total=None, col0=0,
+                           wb_l_total=None):
     """UPSAMPLE_UV fully in block form (reference:
     quantsmooth.h:1851-2394, 2691-2752) — no full-resolution planes.
 
@@ -416,7 +417,11 @@ def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
     shard's global first pixel row (may be traced), ``hb_l_total`` the
     global luma block rows.  Both replicate tails stay shard-local:
     hh - h1*hs < 8, so the bottom tail and its source row live in the
-    last block row.
+    last block row.  Column sharding (2-D grid) mirrors this with
+    ``col0``/``wb_l_total``: the right tail spans < 8 px (the last
+    block column) and its source column sits at most one block column
+    to the left, so it stays shard-local whenever wb_l >= 2 (the
+    engine guards this).
     """
     from . import fp32
 
@@ -424,6 +429,8 @@ def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
     h1 = (img_h + hs - 1) // hs
     if hb_l_total is None:
         hb_l_total = hb_l
+    if wb_l_total is None:
+        wb_l_total = wb_l
 
     # regression slope per low-res pixel (same math as JOINT)
     a = luma2_halo.astype(F)
@@ -448,18 +455,23 @@ def upsample_chroma_blocks(chroma_halo, luma2_halo, luma_pix,
     out = jnp.clip(jnp.trunc(val), 0, 255).astype(I32)
 
     o4 = out.reshape(8, 8, hb_l, wb_l)
-    hh, ww = hb_l_total * 8, wb_l * 8
+    hh, ww = hb_l_total * 8, wb_l_total * 8
     row_g = (jax.lax.broadcasted_iota(I32, (8, 1, hb_l, 1), 0)
              + 8 * jax.lax.broadcasted_iota(I32, (8, 1, hb_l, 1), 2)
              + row0)
     col_g = (jax.lax.broadcasted_iota(I32, (1, 8, 1, wb_l), 1)
              + 8 * jax.lax.broadcasted_iota(I32, (1, 8, 1, wb_l), 3))
+    col_g = col_g + col0
     # right-edge replicate from col w1*ws-1, first min(8,h1)*hs rows
-    # only (reference quirk, quantsmooth.h:1861 + 2390-2393)
+    # only (reference quirk, quantsmooth.h:1861 + 2390-2393); source
+    # block column indexed dynamically under col sharding (shards that
+    # don't own it mask the clamped-garbage column away)
     if w1 * ws < ww:
         rep_rows = min(min(8, h1) * hs, min(h1 * hs, hh))
         sc = w1 * ws - 1
-        src_col = o4[:, sc % 8, :, sc // 8]            # [8, hb_l]
+        lbc = jnp.clip(sc // 8 - col0 // 8, 0, wb_l - 1)
+        src_col = jax.lax.dynamic_index_in_dim(
+            o4[:, sc % 8], lbc, axis=2, keepdims=False)  # [8, hb_l]
         mask = (row_g < rep_rows) & (col_g >= w1 * ws)
         o4 = jnp.where(mask, src_col[:, None, :, None], o4)
     # bottom replicate from row h1*hs-1 (quantsmooth.h:2729-2730);

@@ -480,20 +480,22 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
 
 def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
                               ws, hs, flags, niter, row_axis="row",
-                              img_w=None, img_h=None):
+                              img_w=None, img_h=None, col_axis=None):
     """End-to-end sharded YCbCr smoothing — the reference flow
     quantsmooth.h:2484-2849 including UPSAMPLE_UV, as ONE shard_map
-    program over the row axis.
+    program over the row axis (optionally a 2-D row x col grid).
 
-    All three component planes are row-sharded; the luma pass emits
+    All three component planes are sharded alike; the luma pass emits
     its pixel blocks, which are box-downsampled shard-locally and
     halo-exchanged into the chroma JOINT passes; with UPSAMPLE_UV the
     full-resolution chroma is regressed shard-locally from the luma
-    pixels (replicate tails are confined to the last block row, hence
-    shard-local — see planar.upsample_chroma_blocks).
+    pixels (replicate tails are confined to the last block row/column,
+    hence shard-local — see planar.upsample_chroma_blocks).
 
-    Requires aligned dims (hb_l == hs*hb_c, wb_l == ws*wb_c) and
-    hb_l, hb_c divisible by the row-axis size; ws, hs in {1, 2}.
+    Requires aligned dims (hb_l == hs*hb_c, wb_l == ws*wb_c), hb_l,
+    hb_c divisible by the row-axis size (and wb_l, wb_c by the
+    col-axis size, with >= 2 local luma block columns so the
+    UPSAMPLE right-tail source stays shard-local); ws, hs in {1, 2}.
     Returns fn(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c) ->
     (y, cb, cr, badv, ups) with ups either None or (up_cb, up_cr)
     int16[hb_l, wb_l, 64] coefficient planes at luma dims.
@@ -503,6 +505,11 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
     n_rows = mesh.shape[row_axis]
     assert hb_l % n_rows == 0 and hb_c % n_rows == 0
     hbl_loc, hbc_loc = hb_l // n_rows, hb_c // n_rows
+    n_cols = mesh.shape[col_axis] if col_axis is not None else 1
+    assert wb_l % n_cols == 0 and wb_c % n_cols == 0
+    wbl_loc, wbc_loc = wb_l // n_cols, wb_c // n_cols
+    assert n_cols == 1 or wbl_loc >= 2, \
+        "col-sharded UPSAMPLE needs >= 2 local luma block columns"
     if img_w is None:
         img_w = wb_l * 8
     if img_h is None:
@@ -512,15 +519,22 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
     if not (flags & LOW_QUALITY):
         tables = make_solver_tables(flags)
 
-    def upsample_one(pix_c, img2_halo, pix_y, row0):
-        ch_halo = blocks_halo10_sharded(pix_c, hbc_loc, wb_c, row_axis)
+    def mkhalo_c(p):
+        if col_axis is None:
+            return blocks_halo10_sharded(p, hbc_loc, wbc_loc, row_axis)
+        return blocks_halo10_sharded2d(p, hbc_loc, wbc_loc, row_axis,
+                                       col_axis)
+
+    def upsample_one(pix_c, img2_halo, pix_y, row0, col0):
+        ch_halo = mkhalo_c(pix_c)
         up = planar.upsample_chroma_blocks(
             ch_halo, img2_halo, pix_y, img_w, img_h, ws, hs,
-            hbl_loc, wb_l, hbc_loc, wb_c, row0=row0, hb_l_total=hb_l)
+            hbl_loc, wbl_loc, hbc_loc, wbc_loc, row0=row0,
+            hb_l_total=hb_l, col0=col0, wb_l_total=wb_l)
         fb = (up - CENTERJSAMPLE).astype(F)
         uc = c_f32_to_i32(roundf(
-            planar.fdct_float_p(fb).reshape(64, hbl_loc * wb_l)))
-        return uc.T.astype(jnp.int16).reshape(hbl_loc, wb_l, 64)
+            planar.fdct_float_p(fb).reshape(64, hbl_loc * wbl_loc)))
+        return uc.T.astype(jnp.int16).reshape(hbl_loc, wbl_loc, 64)
 
     def local_fn(cy, ccb, ccr, qraw_y, div_y, x1_y, qshr_y,
                  qraw_c, div_c, x1_c, qshr_c, fence):
@@ -532,24 +546,25 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
 
             y, pix_y, bad_y = _component_body(
                 cy, qraw_y, div_y, x1_y, qshr_y, None, hb_loc=hbl_loc,
-                wb=wb_l, flags=flags, niter=niter, extra_refresh=1,
-                luma=True, tables=tables, row_axis=row_axis)
-            ds = planar.downsample_blocks(pix_y, hbl_loc, wb_l,
-                                          hbc_loc, wb_c, ws, hs)
-            img2_halo = (blocks_halo10_sharded(ds, hbc_loc, wb_c, row_axis)
+                wb=wbl_loc, flags=flags, niter=niter, extra_refresh=1,
+                luma=True, tables=tables, row_axis=row_axis,
+                col_axis=col_axis)
+            ds = planar.downsample_blocks(pix_y, hbl_loc, wbl_loc,
+                                          hbc_loc, wbc_loc, ws, hs)
+            img2_halo = (mkhalo_c(ds)
                          if (flags & JOINT_YUV) else None)
 
             extra_c = 1 if do_up else 0
             cb, pix_cb, bad_cb = _component_body(
                 ccb, qraw_c, div_c, x1_c, qshr_c, img2_halo,
-                hb_loc=hbc_loc, wb=wb_c, flags=flags, niter=niter,
+                hb_loc=hbc_loc, wb=wbc_loc, flags=flags, niter=niter,
                 extra_refresh=extra_c, luma=False, tables=tables,
-                row_axis=row_axis)
+                row_axis=row_axis, col_axis=col_axis)
             cr, pix_cr, bad_cr = _component_body(
                 ccr, qraw_c, div_c, x1_c, qshr_c, img2_halo,
-                hb_loc=hbc_loc, wb=wb_c, flags=flags, niter=niter,
+                hb_loc=hbc_loc, wb=wbc_loc, flags=flags, niter=niter,
                 extra_refresh=extra_c, luma=False, tables=tables,
-                row_axis=row_axis)
+                row_axis=row_axis, col_axis=col_axis)
 
             # stop propagation (engine._image_smooth_impl): once a
             # component trips the guard, later components fall back to
@@ -557,9 +572,9 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
             outs = []
             stop = jnp.zeros((), jnp.bool_)
             for res, bad, d, shape in (
-                    (y, bad_y, dq[0], (hbl_loc, wb_l, 64)),
-                    (cb, bad_cb, dq[1], (hbc_loc, wb_c, 64)),
-                    (cr, bad_cr, dq[2], (hbc_loc, wb_c, 64))):
+                    (y, bad_y, dq[0], (hbl_loc, wbl_loc, 64)),
+                    (cb, bad_cb, dq[1], (hbc_loc, wbc_loc, 64)),
+                    (cr, bad_cr, dq[2], (hbc_loc, wbc_loc, 64))):
                 out = res.T.reshape(shape)
                 outs.append(jnp.where(stop, d, out).astype(jnp.int16))
                 stop = stop | bad
@@ -567,22 +582,22 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
 
             if do_up:
                 row0 = jax.lax.axis_index(row_axis) * (hbl_loc * 8)
+                col0 = (jax.lax.axis_index(col_axis) * (wbl_loc * 8)
+                        if col_axis is not None else 0)
                 if img2_halo is None:   # UPSAMPLE without JOINT
-                    img2_halo = blocks_halo10_sharded(ds, hbc_loc, wb_c,
-                                                      row_axis)
-                up_cb = upsample_one(pix_cb, img2_halo, pix_y, row0)
-                up_cr = upsample_one(pix_cr, img2_halo, pix_y, row0)
+                    img2_halo = mkhalo_c(ds)
+                up_cb = upsample_one(pix_cb, img2_halo, pix_y, row0, col0)
+                up_cr = upsample_one(pix_cr, img2_halo, pix_y, row0, col0)
                 return (*outs, badv, up_cb, up_cr)
             return (*outs, badv)
 
-    out_specs = (P(row_axis, None, None), P(row_axis, None, None),
-                 P(row_axis, None, None), P())
+    pspec = P(row_axis, col_axis, None)
+    out_specs = (pspec, pspec, pspec, P())
     if do_up:
-        out_specs = out_specs + (P(row_axis, None, None),
-                                 P(row_axis, None, None))
+        out_specs = out_specs + (pspec, pspec)
     sharded = jax.jit(shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(row_axis, None, None),) * 3 + (P(),) * 9,
+        in_specs=(pspec,) * 3 + (P(),) * 9,
         out_specs=out_specs, check_vma=False))
 
     def run(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c):

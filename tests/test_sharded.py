@@ -310,11 +310,13 @@ def test_engine_auto_sharding(monkeypatch, color, quality):
     assert got.stop == want.stop
 
 
-@pytest.mark.parametrize("h,w,color,want_grid", [
-    (16, 256, False, (2, 4)),   # 2 block rows strand 6 devices -> 2x4
-    (16, 512, True, (1, 8)),    # 4:2:0 chroma has ONE block row -> 1x8
+@pytest.mark.parametrize("h,w,color,quality,want_grid", [
+    (16, 256, False, 3, (2, 4)),  # 2 block rows strand 6 devices -> 2x4
+    (16, 512, True, 3, (1, 8)),   # 4:2:0 chroma has ONE block row -> 1x8
+    (16, 512, True, 6, (1, 8)),   # col-sharded YCbCr JOINT+UPSAMPLE flow
 ])
-def test_engine_auto_sharding_2d_grid(monkeypatch, h, w, color, want_grid):
+def test_engine_auto_sharding_2d_grid(monkeypatch, h, w, color, quality,
+                                      want_grid):
     """When row divisibility alone can't use every device, the engine
     auto-selects a 2-D (row x col) spatial grid — bit-identical to the
     single-device program (both ppermute halo directions + corners)."""
@@ -325,7 +327,7 @@ def test_engine_auto_sharding_2d_grid(monkeypatch, h, w, color, want_grid):
 
     data = make_jpeg(h, w, "photo", seed=19, color=color, quality=70)
     img = jpegio.read_coefficients(data)
-    opts = QsOptions.from_quality(3, 2)
+    opts = QsOptions.from_quality(quality, 2)
     monkeypatch.setenv("JPEGQS_SHARD_MIN_BLOCKS", "0")
     assert engine._shard_grid(img, opts) == want_grid
     want = engine._smooth_fused(img, opts)
@@ -333,6 +335,10 @@ def test_engine_auto_sharding_2d_grid(monkeypatch, h, w, color, want_grid):
     assert got is not None, "sharded path should apply"
     for ci in range(len(img.components)):
         assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+    assert (got.upsampled is None) == (want.upsampled is None)
+    if got.upsampled is not None:
+        assert np.array_equal(got.upsampled[0], want.upsampled[0])
+        assert np.array_equal(got.upsampled[1], want.upsampled[1])
     assert got.stop == want.stop
 
 
