@@ -7,11 +7,13 @@ framework scales out the TPU-native way (SURVEY.md §5):
 - ``initialize`` wires the process into a ``jax.distributed`` job
   (coordinator + process id), after which ``jax.devices()`` spans all
   hosts.
-- ``smooth_jpeg_distributed``: ONE image row-sharded over every device
-  in the job — the halo ppermutes ride ICI within a slice and DCN
-  across hosts, sitting exactly where the reference has its OpenMP
-  barrier.  Every process parses the same JPEG bytes and receives the
-  full result (allgathered), so any process can re-encode.
+- ``smooth_jpeg_distributed``: ONE image sharded over every device in
+  the job — block rows first, a (row x col) grid when row divisibility
+  alone can't split the plane across the device count — the halo
+  ppermutes ride ICI within a slice and DCN across hosts, sitting
+  exactly where the reference has its OpenMP barrier.  Every process
+  parses the same JPEG bytes and receives the full result
+  (allgathered), so any process can re-encode.
 - ``smooth_batch_distributed``: per-host image batches on a
   ('data', 'row') mesh — batch DP across hosts on DCN (no cross-image
   communication), row sharding within each host's devices on ICI.
@@ -49,6 +51,29 @@ def initialize(coordinator_address=None, num_processes=None,
 def global_row_mesh():
     """A 1-D ('row',) mesh over every device in the job."""
     return Mesh(np.array(jax.devices()), ("row",))
+
+
+def _full_grid(hbs, wbs, ndev, wbl_for_up=None):
+    """(rows, cols) factorization of ndev with rows dividing every hb
+    and cols dividing every wb (prefer row-heavy splits — the
+    row-sharded flow runs the resident-tile kernel loop), or None.
+    ``wbl_for_up``: luma block columns when the UPSAMPLE right-tail
+    source must stay shard-local (>= 2 local luma block columns)."""
+    for r in range(ndev, 0, -1):
+        if ndev % r:
+            continue
+        c = ndev // r
+        if any(h % r for h in hbs) or any(w % c for w in wbs):
+            continue
+        if c > 1 and wbl_for_up is not None and wbl_for_up // c < 2:
+            continue
+        return r, c
+    return None
+
+
+def _grid_mesh_global(r, c):
+    """A ('row', 'col') mesh over every device in the job."""
+    return Mesh(np.array(jax.devices()).reshape(r, c), ("row", "col"))
 
 
 def data_row_mesh():
@@ -90,8 +115,7 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
         opts = QsOptions.from_quality(3, 3)
     img = read_coefficients(data)
     comps = img.components
-    mesh = global_row_mesh()
-    n_rows = mesh.shape["row"]
+    ndev = len(jax.devices())
     niter = min(max(opts.niter, 0), ITER_MAX)
     flags = opts.flags
 
@@ -109,7 +133,21 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
         and all(comps[i].h_samp_factor == 1 and comps[i].v_samp_factor == 1
                 for i in (1, 2)))
 
-    spec = P("row", None, None)
+    hbs = [c.height_in_blocks for c in comps]
+    wbs = [c.width_in_blocks for c in comps]
+    grid = _full_grid(hbs, wbs, ndev,
+                      wbl_for_up=(comps[0].width_in_blocks
+                                  if flags & UPSAMPLE_UV else None))
+    if grid is None:
+        raise ValueError(
+            f"component block grids {list(zip(hbs, wbs))} admit no "
+            f"(rows, cols) split of {ndev} devices; re-run with a "
+            f"device count sharing a divisor with the block rows or "
+            f"columns")
+    r, ncol = grid
+    mesh = global_row_mesh() if ncol == 1 else _grid_mesh_global(r, ncol)
+    col_axis = None if ncol == 1 else "col"
+    spec = P("row", col_axis, None)
     if need_downsample and len(comps) == 3:
         y, cb, cr = comps[0], comps[1], comps[2]
         # same eligibility the auto-sharding engine checks
@@ -132,7 +170,8 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
             mesh, hb_l=y.height_in_blocks, wb_l=y.width_in_blocks,
             hb_c=cb.height_in_blocks, wb_c=cb.width_in_blocks,
             ws=y.h_samp_factor, hs=y.v_samp_factor, flags=flags,
-            niter=niter, img_w=img.width, img_h=img.height)
+            niter=niter, img_w=img.width, img_h=img.height,
+            col_axis=col_axis)
         ins = [_make_global(np.asarray(c.coefs, np.int16), mesh, spec)
                for c in comps]
         oy, ocb, ocr, badv, ups = fn(ins[0], ins[1], ins[2],
@@ -159,11 +198,9 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
                 jnp.asarray(res.coefs[ci].reshape(hb * wb, 64)),
                 jnp.asarray(qraw))).reshape(hb, wb, 64)
             continue
-        assert hb % n_rows == 0, \
-            f"comp {ci}: {hb} block rows not divisible by {n_rows} devices"
         fn = _sh.make_sharded_smooth(
             mesh, hb=hb, wb=wb, flags=flags, niter=niter,
-            luma=(ci == 0) or not img.is_ycbcr)
+            luma=(ci == 0) or not img.is_ycbcr, col_axis=col_axis)
         coef = _make_global(np.asarray(comp.coefs, np.int16), mesh, spec)
         qraw_j, div, x1, qshr = tabs(ci)
         out, badv = fn(coef, qraw_j, div, x1, qshr)

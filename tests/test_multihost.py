@@ -92,6 +92,42 @@ def test_distributed_stop_propagation_single_process():
         assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
 
 
+def test_distributed_grid_fallback_single_process():
+    """Block rows that don't divide the job's device count pick a
+    (row x col) grid instead of failing — here hb=2 on 8 devices
+    becomes a 2x4 mesh; output matches the single-device engine."""
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu.options import QsOptions
+    from jpegqs_tpu.parallel.multihost import smooth_jpeg_distributed
+
+    data = make_jpeg(16, 512, "photo", seed=33, quality=70)
+    img = jpegio.read_coefficients(data)
+    opts = QsOptions.from_quality(3, 2)
+    want = engine._smooth_fused(img, opts)
+    got, _ = smooth_jpeg_distributed(data, opts)
+    assert np.array_equal(got.coefs[0], want.coefs[0])
+
+
+def test_distributed_ycbcr_col_grid_single_process():
+    """The fused YCbCr color flow (JOINT+UPSAMPLE) rides the col axis
+    when chroma has too few block rows for the job's devices."""
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu.options import QsOptions
+    from jpegqs_tpu.parallel.multihost import smooth_jpeg_distributed
+
+    data = make_jpeg(16, 512, "photo", seed=34, color=True, quality=70)
+    img = jpegio.read_coefficients(data)
+    opts = QsOptions.from_quality(6, 2)
+    want = engine._smooth_fused(img, opts)
+    got, _ = smooth_jpeg_distributed(data, opts)
+    for ci in range(3):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+    assert np.array_equal(got.upsampled[0], want.upsampled[0])
+    assert np.array_equal(got.upsampled[1], want.upsampled[1])
+
+
 def test_distributed_ycbcr_guard_unequal_chroma_tables():
     """Distinct Cb/Cr quant tables must refuse the fused distributed
     color path instead of smoothing Cr with Cb's tables."""
