@@ -691,8 +691,7 @@ def _try_smooth_sharded(img, opts: QsOptions):
         aligned = (y.height_in_blocks == hs * cb.height_in_blocks
                    and y.width_in_blocks == ws * cb.width_in_blocks
                    and cb.height_in_blocks == cr.height_in_blocks
-                   and cb.width_in_blocks == cr.width_in_blocks
-                   and np.array_equal(cb.quantval, cr.quantval))
+                   and cb.width_in_blocks == cr.width_in_blocks)
         if not aligned or len(comps) != 3:
             return None
         key = ("ycbcr", r, ncol, y.height_in_blocks, y.width_in_blocks,
@@ -711,7 +710,7 @@ def _try_smooth_sharded(img, opts: QsOptions):
             np.asarray(c.coefs, np.int16).reshape(
                 c.height_in_blocks, c.width_in_blocks, 64), sh)
         oy, ocb, ocr, badv, ups = fn(put(y), put(cb), put(cr),
-                                     tabs(0), tabs(1))
+                                     tabs(0), tabs(1), tabs(2))
         res.coefs[0] = np.asarray(oy)
         res.coefs[1] = np.asarray(ocb)
         res.coefs[2] = np.asarray(ocr)

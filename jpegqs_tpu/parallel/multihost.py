@@ -151,21 +151,17 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
     if need_downsample and len(comps) == 3:
         y, cb, cr = comps[0], comps[1], comps[2]
         # same eligibility the auto-sharding engine checks
-        # (engine._try_smooth_sharded): aligned plane dims and one
-        # shared chroma quant table — the fused YCbCr program applies
-        # qtabs_c to BOTH chroma planes.  Refuse loudly rather than
-        # produce silently-wrong Cr output or crash at trace time.
+        # (engine._try_smooth_sharded): aligned plane dims.  Refuse
+        # loudly rather than crash at trace time.
         aligned = (
             y.height_in_blocks == y.v_samp_factor * cb.height_in_blocks
             and y.width_in_blocks == y.h_samp_factor * cb.width_in_blocks
             and cb.height_in_blocks == cr.height_in_blocks
-            and cb.width_in_blocks == cr.width_in_blocks
-            and np.array_equal(cb.quantval, cr.quantval))
+            and cb.width_in_blocks == cr.width_in_blocks)
         if not aligned:
             raise ValueError(
-                "distributed YCbCr color path needs aligned plane dims "
-                "and a shared chroma quant table; use engine.smooth "
-                "(single process) for this file")
+                "distributed YCbCr color path needs aligned plane dims; "
+                "use engine.smooth (single process) for this file")
         fn = _sh.make_sharded_ycbcr_smooth(
             mesh, hb_l=y.height_in_blocks, wb_l=y.width_in_blocks,
             hb_c=cb.height_in_blocks, wb_c=cb.width_in_blocks,
@@ -175,7 +171,7 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
         ins = [_make_global(np.asarray(c.coefs, np.int16), mesh, spec)
                for c in comps]
         oy, ocb, ocr, badv, ups = fn(ins[0], ins[1], ins[2],
-                                     tabs(0), tabs(1))
+                                     tabs(0), tabs(1), tabs(2))
         res.coefs[0] = _gather(oy)
         res.coefs[1] = _gather(ocb)
         res.coefs[2] = _gather(ocr)

@@ -496,8 +496,8 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
     hb_c divisible by the row-axis size (and wb_l, wb_c by the
     col-axis size, with >= 2 local luma block columns so the
     UPSAMPLE right-tail source stays shard-local); ws, hs in {1, 2}.
-    Returns fn(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c) ->
-    (y, cb, cr, badv, ups) with ups either None or (up_cb, up_cr)
+    Returns fn(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c[, qtabs_cr])
+    -> (y, cb, cr, badv, ups) with ups either None or (up_cb, up_cr)
     int16[hb_l, wb_l, 64] coefficient planes at luma dims.
     """
     assert ws in (1, 2) and hs in (1, 2)
@@ -537,12 +537,13 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
         return uc.T.astype(jnp.int16).reshape(hbl_loc, wbl_loc, 64)
 
     def local_fn(cy, ccb, ccr, qraw_y, div_y, x1_y, qshr_y,
-                 qraw_c, div_c, x1_c, qshr_c, fence):
+                 qraw_c, div_c, x1_c, qshr_c,
+                 qraw_r, div_r, x1_r, qshr_r, fence):
         with fp32.fence_token(fence):
             dq = [  # plain-dequant fallbacks for stop propagation
                 (c.astype(I32).reshape(-1, 64) * q[None, :]
                  ).astype(jnp.int16).astype(I32).reshape(c.shape)
-                for c, q in ((cy, qraw_y), (ccb, qraw_c), (ccr, qraw_c))]
+                for c, q in ((cy, qraw_y), (ccb, qraw_c), (ccr, qraw_r))]
 
             y, pix_y, bad_y = _component_body(
                 cy, qraw_y, div_y, x1_y, qshr_y, None, hb_loc=hbl_loc,
@@ -561,7 +562,7 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
                 extra_refresh=extra_c, luma=False, tables=tables,
                 row_axis=row_axis, col_axis=col_axis)
             cr, pix_cr, bad_cr = _component_body(
-                ccr, qraw_c, div_c, x1_c, qshr_c, img2_halo,
+                ccr, qraw_r, div_r, x1_r, qshr_r, img2_halo,
                 hb_loc=hbc_loc, wb=wbc_loc, flags=flags, niter=niter,
                 extra_refresh=extra_c, luma=False, tables=tables,
                 row_axis=row_axis, col_axis=col_axis)
@@ -597,13 +598,16 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
         out_specs = out_specs + (pspec, pspec)
     sharded = jax.jit(shard_map(
         local_fn, mesh=mesh,
-        in_specs=(pspec,) * 3 + (P(),) * 9,
+        in_specs=(pspec,) * 3 + (P(),) * 13,
         out_specs=out_specs, check_vma=False))
 
-    def run(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c):
-        """qtabs_*: (qraw, div, x1, qshr) int32[64] tuples."""
+    def run(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c, qtabs_cr=None):
+        """qtabs_*: (qraw, div, x1, qshr) int32[64] tuples; Cr defaults
+        to the Cb tables (the common shared-chroma-table case)."""
+        if qtabs_cr is None:
+            qtabs_cr = qtabs_c
         res = sharded(coef_y, coef_cb, coef_cr, *qtabs_y, *qtabs_c,
-                      jnp.int32(0))
+                      *qtabs_cr, jnp.int32(0))
         y, cb, cr, badv = res[:4]
         ups = (res[4], res[5]) if do_up else None
         return y, cb, cr, badv, ups

@@ -128,11 +128,12 @@ def test_distributed_ycbcr_col_grid_single_process():
     assert np.array_equal(got.upsampled[1], want.upsampled[1])
 
 
-def test_distributed_ycbcr_guard_unequal_chroma_tables():
-    """Distinct Cb/Cr quant tables must refuse the fused distributed
-    color path instead of smoothing Cr with Cb's tables."""
+def test_distributed_ycbcr_unequal_chroma_tables():
+    """Distinct Cb/Cr quant tables run the fused distributed color
+    path with per-component tables — bit-identical to the engine
+    (each chroma pass gets its own quant/interval tables)."""
     import numpy as np
-    import pytest as _pytest
+    from jpegqs_tpu import engine
     from jpegqs_tpu.host import jpegio
     from jpegqs_tpu.host.jpegio import JpegImage, ComponentData
     from jpegqs_tpu.options import QsOptions
@@ -152,11 +153,13 @@ def test_distributed_ycbcr_guard_unequal_chroma_tables():
             quantval=qt,
             coefs=rng.integers(-5, 6, (hb, wb, 64)).astype(np.int16)))
 
+    opts = QsOptions(flags=2 | 1, niter=2)
+    want = engine._smooth_fused(img, opts)
     orig = jpegio.read_coefficients
     jpegio.read_coefficients = lambda data: img
     try:
-        with _pytest.raises(ValueError, match="chroma quant table"):
-            smooth_jpeg_distributed(
-                b"unused", QsOptions(flags=2 | 1, niter=2))
+        got, _ = smooth_jpeg_distributed(b"unused", opts)
     finally:
         jpegio.read_coefficients = orig
+    for ci in range(3):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
