@@ -380,6 +380,15 @@ class _BCfg:
         return isinstance(other, _BCfg) and self._key() == other._key()
 
 
+# canonical batch sizes: batches pad up (replicating the last image,
+# results discarded) so a corpus's buckets land on a handful of
+# compiled program shapes instead of one per exact count — remote
+# compiles cost tens of seconds, the <=33% padded device compute
+# milliseconds.  Sizes above the ladder run exact (callers chunk by
+# max_batch anyway).
+_BATCH_SIZES = (2, 3, 4, 6, 8, 12, 16)
+
+
 def _batch_dispatch(imgs, opts: QsOptions):
     """Dispatch one uniform batch asynchronously.
 
@@ -399,7 +408,9 @@ def _batch_dispatch(imgs, opts: QsOptions):
     if cfg0.need_downsample and not cfg0.ds_blocks:
         return None
     n = len(imgs)
-    cfg = _BCfg(cfg0, n)
+    n_pad = next((s for s in _BATCH_SIZES if s >= n), n)
+    imgs_p = list(imgs) + [imgs[-1]] * (n_pad - n)
+    cfg = _BCfg(cfg0, n_pad)
     prog_index = meta["prog_index"]
 
     inputs = []
@@ -410,7 +421,7 @@ def _batch_dispatch(imgs, opts: QsOptions):
         stack = np.stack([
             np.asarray(im.components[ci].coefs, np.int16).reshape(
                 comp.height_in_blocks * comp.width_in_blocks, 64)
-            for im in imgs])
+            for im in imgs_p])
         inputs.append((jnp.asarray(stack), jnp.asarray(qraw),
                        jnp.asarray(div), jnp.asarray(x1),
                        jnp.asarray(qshr)))

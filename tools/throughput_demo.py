@@ -65,16 +65,21 @@ def main():
                                quality=70 if s % 3 else 60))
     mmp = sum((1024 * 1024 if s % 3 else 768 * 1280)
               for s in range(n)) / 1e6
-    smooth_many(mixed[:4], opts, workers=workers)  # warm all bucket cfgs
+    t0 = time.perf_counter()
+    smooth_many(mixed, opts, workers=workers)   # compiles bucket programs
+    ct = time.perf_counter() - t0
     t0 = time.perf_counter()
     smooth_many(mixed, opts, workers=workers)
     mt = time.perf_counter() - t0
+    for d in mixed:                    # compile per-image configs
+        smooth_jpeg_bytes(d, opts)
     t0 = time.perf_counter()
     for d in mixed:
         smooth_jpeg_bytes(d, opts)
     st = time.perf_counter() - t0
-    print(f"mixed corpus ({n} imgs, {mmp:.0f} MP): pipeline {mt:.2f}s "
-          f"({mmp / mt:.1f} MP/s) vs per-image {st:.2f}s "
+    print(f"mixed corpus ({n} imgs, {mmp:.0f} MP), steady state: "
+          f"pipeline {mt:.2f}s ({mmp / mt:.1f} MP/s; first run incl. "
+          f"compiles {ct:.2f}s) vs per-image {st:.2f}s "
           f"({mmp / st:.1f} MP/s) -> {st / mt:.2f}x")
 
     ref = os.path.join(REPO, ".ref", "jpegqs_native")
