@@ -112,6 +112,35 @@ def main():
                   subsamp=1))
     color = {q: round(device_rate(cimg, q), 1) for q in (3, 6, 0)}
 
+    # 100 MP panorama (BASELINE config #5 scale), device compute on one
+    # chip: the whole-component program on a synthetic 14144x7072-px
+    # coefficient plane (uploaded once; q3 flags, n3)
+    from jpegqs_tpu.engine import component_smooth
+    from jpegqs_tpu.ops.quant import make_quant_tables
+    hbp, wbp = 884, 1768        # 7072x14144 px = 100.0 MP
+    qtblp = np.asarray(img.components[0].quantval, np.int32)
+    rng = np.random.default_rng(7)
+    cap = 2047 // np.maximum(qtblp, 1)
+    coefp = np.clip(
+        rng.integers(-40, 41, (hbp * wbp, 64)) // (1 + np.arange(64) // 8),
+        -cap[None, :], cap[None, :]).astype(np.int16)
+    divp, x1p, qshrp = make_quant_tables(qtblp)
+    argsp = tuple(map(jnp.asarray, (coefp, qtblp, divp, x1p, qshrp)))
+    dummy2 = jnp.zeros((1, 1), jnp.int32)
+
+    def pano_run():
+        c, _, _ = component_smooth(*argsp, dummy2, hb=hbp, wb=wbp,
+                                   flags=0, niter=NITER, extra_refresh=0,
+                                   luma=True, use_image2=False)
+        return c
+    c = pano_run()
+    _ = np.asarray(c[0, 0])     # sync
+    t0 = time.perf_counter()
+    for _ in range(4):
+        c = pano_run()
+    _ = np.asarray(c[0, 0])
+    pano = 4 * hbp * wbp * 64 / 1e6 / (time.perf_counter() - t0)
+
     # end-to-end single image (includes tunnel transfer both ways)
     opts = QsOptions.from_quality(QUALITY, NITER)
     engine.smooth(img, opts)
@@ -123,7 +152,8 @@ def main():
     print(json.dumps({
         "metric": f"MP/s q{QUALITY} n{NITER} gray 2.1MP device compute "
                   f"({backend}; color q3/q6/q0: {color[3]}/{color[6]}/"
-                  f"{color[0]}; e2e-with-tunnel-transfer {e2e:.1f})",
+                  f"{color[0]}; 100MP-pano {pano:.0f}; "
+                  f"e2e-with-tunnel-transfer {e2e:.1f})",
         "value": round(mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mps / base_mps, 3),

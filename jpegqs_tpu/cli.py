@@ -128,10 +128,9 @@ def main(argv=None) -> int:
     niter = opts["niter"] if opts["niter"] >= 0 else 3
     info = opts["info"]
 
-    qs_opts_common = dict(flags=flags, niter=niter,
-                          threads=opts["threads"])
+    qs_opts = QsOptions(flags=flags, niter=niter, threads=opts["threads"])
     if opts["batch"]:
-        return _main_batch(pos[:-1], pos[-1], opts, qs_opts_common)
+        return _main_batch(pos[:-1], pos[-1], opts, qs_opts)
 
     from .host.jpegio import JpegCoefFile
     from . import engine
@@ -148,7 +147,6 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
-    qs_opts = QsOptions(flags=flags, niter=niter, threads=opts["threads"])
     num_warnings = 0
     try:
         with JpegCoefFile(data, copy_markers=opts["copy"],
@@ -219,7 +217,7 @@ def main(argv=None) -> int:
     return 2 if num_warnings else 0
 
 
-def _main_batch(infiles, outdir, opts, qs_kw) -> int:
+def _main_batch(infiles, outdir, opts, qs_opts) -> int:
     """--batch: smooth many files through the bucketed corpus pipeline
     (batch.smooth_corpus) into an output directory."""
     from .batch import smooth_corpus
@@ -241,7 +239,7 @@ def _main_batch(infiles, outdir, opts, qs_kw) -> int:
         return 1
     t0 = time.monotonic()
     try:
-        outs = smooth_corpus(datas, QsOptions(**qs_kw),
+        outs = smooth_corpus(datas, qs_opts,
                              optimize=bool(opts["optimize"]),
                              copy_markers=opts["copy"])
     except ValueError as e:
