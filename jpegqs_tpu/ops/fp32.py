@@ -117,15 +117,20 @@ def fdiv(a, b):
 # Correctly-rounded f32 division for backends with approximate dividers
 # ---------------------------------------------------------------------------
 
+def _split_mask(x, f):
+    """Exact 12/12-bit split of a finite f32: clear the low 12 stored
+    mantissa bits (xh keeps <= 12 significant bits, xl = x - xh the
+    cleared <= 12 — both exact; cheaper than the Veltkamp multiply
+    split and never overflows)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    xh = jax.lax.bitcast_convert_type(bits & jnp.int32(~0xFFF), F)
+    return xh, f(x - xh)
+
+
 def _two_product(x, y, f):
     """Dekker: exact x*y = p + e in f32 (requires unfused mul/add)."""
-    C = F(4097.0)  # 2^12 + 1 (Veltkamp split for 24-bit mantissa)
-    gx = f(x * C)
-    xh = f(gx - f(gx - x))
-    xl = f(x - xh)
-    gy = f(y * C)
-    yh = f(gy - f(gy - y))
-    yl = f(y - yh)
+    xh, xl = _split_mask(x, f)
+    yh, yl = _split_mask(y, f)
     p = f(x * y)
     # canonical Dekker order — each partial sum is exactly representable
     e = f(f(f(f(f(xh * yh) - p) + f(xh * yl)) + f(xl * yh)) + f(xl * yl))
@@ -148,18 +153,14 @@ def _residual_raw(a, b, q, f):
     return s, f(-e)
 
 
-def _exact_sign4(x0, x1, x2, x3, f):
-    """Exact sign of x0+x1+x2+x3 (a sum of two non-overlapping pairs):
-    distill with VecSum sweeps until the leading term dominates."""
-    for _ in range(3):
+def _exact_sign3(x0, x1, x2, f):
+    """Exact sign of x0+x1+x2: d-1 = 2 VecSum distillation sweeps make
+    the trailing slot the dominant component (same scheme the previous
+    4-term variant used with 3 sweeps)."""
+    for _ in range(2):
         x0, x1 = _two_sum(x0, x1, f)
         x1, x2 = _two_sum(x1, x2, f)
-        x2, x3 = _two_sum(x2, x3, f)
-    # after distillation (x3 >= ... >= x0 in magnitude ordering of the
-    # expansion; leading term is x3's slot after sweeps toward the end)
-    lead = jnp.where(x3 != 0, x3,
-                     jnp.where(x2 != 0, x2,
-                               jnp.where(x1 != 0, x1, x0)))
+    lead = jnp.where(x2 != 0, x2, jnp.where(x1 != 0, x1, x0))
     return jnp.sign(lead)
 
 
@@ -196,17 +197,31 @@ def exact_divide(a, b, fence=None):
     bit_step = jnp.where(value_up != (q < 0), 1, -1)
     bits = jax.lax.bitcast_convert_type(q, jnp.int32)
     n = jax.lax.bitcast_convert_type(bits + bit_step, F)
-    sn, en = _residual_raw(a_s, b_s, n, f)
-    nrr = f(sn + en)
-    # Decide via the midpoint: D = |r| - |r_n| = r_sign*(r + r_n),
-    # with the sum's sign computed exactly from the raw pairs.  If the
-    # neighbour's residual keeps r's sign, n is strictly closer.
-    s4 = _exact_sign4(s, e, sn, en, f)
-    d_sign = r_sign * s4
+    # Decide via the midpoint: D = |r(q)| - |r(n)| has the sign of
+    # r_sign * (r(q) + r(n)) = r_sign * (2s + 2e - (n-q)*b).  The step
+    # (n-q) is a power of two (adjacent floats), so h = (n-q)*b is
+    # exact — but it must be formed by integer EXPONENT arithmetic:
+    # ulp(q) itself is subnormal for |q| < ~2^-103 and a float
+    # subtraction n-q would flush to zero under XLA/TPU FTZ.  h is
+    # always normal inside `safe` (q normal under FTZ, so
+    # |h| > |a|*2^-24 > 1e-30*2^-24 > 2^-126), hence the exponent-add
+    # below is exact.  No third Dekker residual and only a 3-term
+    # exact sign needed.  If r(n) keeps r's sign, D > 0 falls out and
+    # n is strictly closer (q and n sit on the same side of the true
+    # quotient).
+    m = jnp.minimum(jnp.abs(q), jnp.abs(n))
+    e_field = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(m, jnp.int32), 23)
+    ulp_e = jnp.maximum(e_field, 1) - 150   # ulp(q) = 2^(ulp_e)
+    b_bits = jax.lax.bitcast_convert_type(jnp.abs(b_s), jnp.int32)
+    h = jax.lax.bitcast_convert_type(
+        b_bits + jax.lax.shift_left(ulp_e, 23), F)
+    h_neg = value_up == (b_s > 0)           # sign of -(n-q)*b
+    h = jnp.where(h_neg, -h, h)
+    s3 = _exact_sign3(f(s + s), f(e + e), h, f)
+    d_sign = r_sign * s3
     n_even = (jax.lax.bitcast_convert_type(n, jnp.int32) & 1) == 0
-    take_n = ((jnp.sign(nrr) == r_sign) & (nrr != 0)
-              | (d_sign > 0)
-              | ((d_sign == 0) & n_even))
+    take_n = (d_sign > 0) | ((d_sign == 0) & n_even)
     exact_now = s == f(-e)
     q = jnp.where(exact_now, q, jnp.where(take_n, n, q))
 
