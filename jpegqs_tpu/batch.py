@@ -212,14 +212,14 @@ def _batch_component(coef16, qraw, div, x1, qshr, img2_halos, *, n, hb, wb,
     # loop runs on resident tiles with per-image-local edge masks (so
     # in-kernel neighbor reads never cross image boundaries)
     from . import engine as _engine
-    pix = planar.idct_islow_p(coef.reshape(8, 8, NB))
-    pix_n = pix.reshape(8, 8, n, B)
     if pallas_solver.use_pallas() and niter > 0:
         coef, pix = _engine._pallas_resident_iters(
-            coef, pix, img2_halos if use_img2 else None, div, x1, qshr,
+            coef, None, img2_halos if use_img2 else None, div, x1, qshr,
             flags, luma, hb, wb, niter, extra_refresh, n=n)
         pix_n = pix.reshape(8, 8, n, B)
     else:
+        pix = planar.idct_islow_p(coef.reshape(8, 8, NB))
+        pix_n = pix.reshape(8, 8, n, B)
         for it in range(niter):
             keep = bool(it < niter - 1 or extra_refresh)
             if use_img2:

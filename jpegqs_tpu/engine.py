@@ -116,12 +116,20 @@ def _pallas_resident_iters(coef, pix, img2, div, x1, qshr, flags, luma,
 
     For a batched call (batch.py) the block axis holds n same-shape
     planes concatenated; the per-image-local edge masks keep the
-    in-kernel neighbor reads from crossing image boundaries."""
+    in-kernel neighbor reads from crossing image boundaries.
+
+    ``pix=None`` seeds the pixel state with the kernel's own IDCT of
+    the tiled coefficients (idct_pix_tiles) — no XLA idct pass or
+    pixel-array layout transpose runs at all."""
     B = coef.shape[1]
     do_reb = not (flags & NO_REBALANCE
                   or (not luma and (flags & NO_REBALANCE_UV)))
     coef_t = pallas_solver.tile_blocks(coef)
-    pix_t = pallas_solver.tile_blocks(pix.reshape(64, B))
+    if pix is None:
+        pix_t = pallas_solver.idct_pix_tiles(coef_t, div, x1, qshr,
+                                             fence=fp32.fence_value())
+    else:
+        pix_t = pallas_solver.tile_blocks(pix.reshape(64, B))
     masks_t = pallas_solver.edge_masks(hb, wb, n)
     img2_t = (pallas_solver.tile_blocks(img2.reshape(100, B))
               if img2 is not None else None)
@@ -206,12 +214,12 @@ def _component_smooth_body(coef16, qraw, div, x1, qshr, image2, *, hb, wb,
     # the Pallas kernel emits the refreshed pixels itself (want_pix),
     # so no XLA idct pass runs between iterations.  The final `pix`
     # matches the reference: refreshed only when extra_refresh asks.
-    pix = planar.idct_islow_p(coef.reshape(8, 8, B))
     if pallas_solver.use_pallas() and niter > 0:
-        coef, pix = _pallas_resident_iters(coef, pix, img2, div, x1,
+        coef, pix = _pallas_resident_iters(coef, None, img2, div, x1,
                                            qshr, flags, luma, hb, wb,
                                            niter, extra_refresh)
     else:
+        pix = planar.idct_islow_p(coef.reshape(8, 8, B))
         for it in range(niter):
             keep = it < niter - 1 or extra_refresh
             coef, newpix = _block_pass_p(coef, pix, img2, div, x1, qshr,

@@ -662,7 +662,12 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
                                fenced, preamble, do_sweep)
     tile = lambda i, *_: (i, 0, 0, 0)
     in_specs = [pl.BlockSpec((1, 64, 8, 128), tile)]
-    if aux_mode == "pix":
+    if aux_mode == "none":
+        # no neighbor input at all (pix-bootstrap / rebalance-only
+        # invocations: do_sweep=False, preamble=None)
+        k = nw = 0
+        n_in = 1
+    elif aux_mode == "pix":
         k = _win_k(wb)
         nw = 2 * k + 1
         for d in range(-k, k + 1):
@@ -703,7 +708,10 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
         out_ref = refs[n_in]
         pix_ref = refs[n_in + 1] if want_pix else None
         diffs_ref, absd_ref, need_ref = refs[n_in + n_out:]
-        if aux_mode == "pix":
+        if aux_mode == "none":
+            i2_ref = None
+            halo_src = bord_src = None
+        elif aux_mode == "pix":
             pix_refs = [r.at[0] for r in ins[1:1 + nw]]
             mask_ref = ins[1 + nw]
             i2_ref = ins[2 + nw] if preamble == "joint" else None
@@ -730,7 +738,9 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
                out_ref.at[0], pix_ref.at[0] if want_pix else None,
                diffs_ref, absd_ref, need_ref)
 
-    if aux_mode == "pix":
+    if aux_mode == "none":
+        args = [coef_t]
+    elif aux_mode == "pix":
         args = [coef_t] + [aux1_t] * nw + [masks_t]
     else:
         args = [coef_t, aux1_t]
@@ -848,6 +858,25 @@ def _prep_pix(interpret, fenced, fence):
     if fence is None:
         fence = jnp.zeros((), I32)
     return interpret, fenced, fence
+
+
+def idct_pix_tiles(coef_t, div, x1, qshr, fence=None, interpret=False,
+                   fenced=None):
+    """Pixel bootstrap: the IDCT of tiled coefficients, emitted by the
+    kernel itself ([g, 64, 8, 128] -> [g, 64, 8, 128] pixels).
+
+    Replaces the XLA idct pass (+ its tile-layout transpose) that
+    otherwise seeds the resident iteration loop's pixel state — the
+    do_sweep=False kernel path with no neighbor input at all
+    (reference: the iteration-0 plane build, quantsmooth.h:2586-2609;
+    the coefficients pass through unchanged)."""
+    interpret, fenced, fence = _prep_pix(interpret, fenced, fence)
+    _, pix_t = _solve_tiled(coef_t, None, None, None, div, x1, qshr,
+                            fence, flags=0, do_rebalance=False,
+                            interpret=interpret, fenced=fenced,
+                            do_sweep=False, want_pix=True,
+                            aux_mode="none")
+    return pix_t
 
 
 def solve_rebalance_pix(coef_t, pix_t, masks_t, div, x1, qshr, flags,

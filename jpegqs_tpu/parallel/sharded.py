@@ -284,8 +284,14 @@ def _sharded_resident_iters(coef, pix, img2_halo, div, x1, qshr, flags,
                   or (not luma and (flags & NO_REBALANCE_UV)))
     pad = ((0, 0), (wb, wb))
     coef_t = pallas_solver.tile_blocks(jnp.pad(coef, pad))
-    pix_t = pallas_solver.tile_blocks(
-        jnp.pad(pix.reshape(64, B), pad))
+    if pix is None:
+        # kernel-side pixel bootstrap (ghost-row pixels are garbage
+        # until _exchange_ghosts overwrites the lines the kernel reads)
+        pix_t = pallas_solver.idct_pix_tiles(coef_t, div, x1, qshr,
+                                             fence=fp32.fence_value())
+    else:
+        pix_t = pallas_solver.tile_blocks(
+            jnp.pad(pix.reshape(64, B), pad))
     base, top, bot = _ext_mask_parts(hb_loc, wb)
     n = jax.lax.axis_size(row_axis)
     r = jax.lax.axis_index(row_axis)
@@ -359,12 +365,12 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
     # same driver-loop shape as engine._component_smooth_body: on the
     # Pallas path the whole loop runs on resident tiles with ghost-row
     # boundary exchanges; the XLA path exchanges materialized halos
-    pix = planar.idct_islow_p(coef.reshape(8, 8, B))
     if pallas_solver.use_pallas() and niter > 0 and col_axis is None:
         coef, pix = _sharded_resident_iters(
-            coef, pix, img2_halo, div, x1, qshr, flags, luma, hb_loc,
+            coef, None, img2_halo, div, x1, qshr, flags, luma, hb_loc,
             wb, niter, extra_refresh, row_axis)
     else:
+        pix = planar.idct_islow_p(coef.reshape(8, 8, B))
         for it in range(niter):
             keep = it < niter - 1 or extra_refresh
             coef, newpix = _engine.block_pass_p(

@@ -39,6 +39,59 @@ def test_near_tie_regressions():
     assert np.array_equal(got.view(np.int32), want.view(np.int32))
 
 
+def test_constructed_near_ties():
+    """Quotients landing within 1 ulp of a rounding midpoint across
+    wide scales — the cases the decision logic exists for."""
+    rng = np.random.default_rng(11)
+    N = 500_000
+    q = (rng.uniform(0.5, 2, N) * 2.0 ** rng.integers(-40, 40, N)
+         ).astype(np.float32)
+    q *= rng.choice([-1, 1], N).astype(np.float32)
+    b = (rng.uniform(-1, 1, N) * 10.0 ** rng.uniform(-8, 8, N)
+         ).astype(np.float32)
+    b[b == 0] = 1.0
+    n = np.nextafter(q, np.copysign(np.inf, q), dtype=np.float32)
+    mid = (q.astype(np.float64) + n.astype(np.float64)) / 2
+    for off in (0, 1, -1):
+        a = (mid * b.astype(np.float64)).astype(np.float32)
+        if off:
+            a = np.nextafter(a, np.copysign(np.inf, a * off),
+                             dtype=np.float32)
+        ok = ((np.abs(a) > np.float32(1e-28))
+              & (np.abs(a) < np.float32(1e28)) & np.isfinite(a))
+        got = np.asarray(jax.jit(exact_divide)(jnp.asarray(a),
+                                               jnp.asarray(b)))
+        want = _ieee(a, b)
+        m = ((got.view(np.int32) != want.view(np.int32)) & ok
+             & np.isfinite(want) & (want != 0)
+             & (np.abs(want) > np.float32(1.2e-38)))
+        assert not m.any(), (off, a[m][:3], b[m][:3])
+
+
+def test_split_mask_exact():
+    """The mantissa-mask split must recombine exactly across the
+    guarded magnitude window (the Dekker products rely on <=12-bit
+    halves; below ~1e-34 the low half goes subnormal and XLA's FTZ
+    flushes it — those magnitudes sit outside exact_divide's `safe`
+    window by the same token)."""
+    from jpegqs_tpu.ops.fp32 import _split_mask
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        (rng.uniform(-1, 1, 100_000) * 10.0 ** rng.uniform(-30, 30,
+                                                           100_000)),
+        rng.integers(-(2 ** 24), 2 ** 24, 100_000).astype(np.float64),
+    ]).astype(np.float32)
+    xh, xl = (np.asarray(v) for v in _split_mask(jnp.asarray(x),
+                                                 lambda y: y))
+    assert np.array_equal(xh + xl, x)  # exact split (xh+xl is exact)
+    # each half fits 12 significant bits: products of halves round-trip
+    # f32 exactly (checked where the product itself is in normal range)
+    prod = xh.astype(np.float64) * xh.astype(np.float64)
+    in_range = (np.abs(prod) > 1.2e-38) & (np.abs(prod) < 1e38)
+    rt = prod.astype(np.float32).astype(np.float64)
+    assert np.array_equal(rt[in_range], prod[in_range])
+
+
 def test_special_values():
     a = np.array([0.0, -0.0, 1.0, -1.0, 0.0, np.inf, 5.0], np.float32)
     b = np.array([3.0, 3.0, 0.0, 0.0, 0.0, 2.0, np.nan], np.float32)

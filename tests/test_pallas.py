@@ -104,6 +104,25 @@ def test_fused_no_rebalance():
                 seed=8)
 
 
+def test_idct_pix_tiles_bootstrap():
+    """The aux-free pixel-bootstrap invocation equals the XLA IDCT in
+    tile layout (it seeds the resident iteration loop, replacing the
+    engine's iteration-0 idct pass + layout transpose)."""
+    from jpegqs_tpu.ops import pallas_solver as ps
+    rng = np.random.default_rng(21)
+    B = 300
+    qtbl = rng.integers(1, 120, 64).astype(np.uint16)
+    div, x1, qshr = (jnp.asarray(a) for a in make_quant_tables(qtbl))
+    coef = np.clip(rng.integers(-40, 41, (64, B))
+                   * qtbl.astype(np.int32)[:, None], -32768, 32767
+                   ).astype(np.int32)
+    coef_t = ps.tile_blocks(jnp.asarray(coef))
+    pix_t = ps.idct_pix_tiles(coef_t, div, x1, qshr, interpret=True)
+    got = ps.untile_blocks(pix_t, B).reshape(8, 8, B)
+    want = planar.idct_islow_p(jnp.asarray(coef).reshape(8, 8, B))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_want_pix_matches_idct():
     """The kernel's pixel output equals the IDCT of its coefficient
     output (the engine relies on this to skip the XLA idct pass)."""
