@@ -92,6 +92,41 @@ def test_distributed_stop_propagation_single_process():
         assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
 
 
+@pytest.mark.slow
+def test_two_process_col_grid_q6(tmp_path):
+    """2 real processes x 4 devices on an image whose block rows (2
+    luma / 1 chroma) can't split 8 ways: the job falls back to the
+    (1 x 8) col grid and the cross-process col-axis ppermutes carry
+    the halos — output identical to the single-process engine,
+    upsampled planes included."""
+    data = make_jpeg(16, 512, "photo", seed=37, color=True, quality=70)
+    inp = tmp_path / "in.jpg"
+    inp.write_bytes(data)
+    out = tmp_path / "out.jpg"
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, LAUNCHER, "--local", "2",
+         "--devices-per-host", "4", "-q", "6", "-n", "2",
+         str(inp), str(out)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu.options import QsOptions
+    img = jpegio.read_coefficients(data)
+    want = engine._smooth_fused(img, QsOptions.from_quality(6, 2))
+
+    got = coef_arrays(out.read_bytes())
+    for ci, (coefs, _q) in enumerate(got):
+        ref = (want.upsampled[ci - 1] if want.upsampled is not None
+               and ci >= 1 else want.coefs[ci])
+        assert np.array_equal(coefs, ref), f"comp {ci}"
+
+
 def test_distributed_grid_fallback_single_process():
     """Block rows that don't divide the job's device count pick a
     (row x col) grid instead of failing — here hb=2 on 8 devices
