@@ -53,7 +53,8 @@ def _img_sig(img):
 
 def smooth_corpus(datas, opts: QsOptions = None, workers: int = 8,
                   optimize: bool = False, copy_markers: int = 2,
-                  max_batch: int = 16, window: int = 4):
+                  max_batch: int = 16, window: int = 4,
+                  warnings_out: list = None):
     """Smooth a mixed corpus of JPEG byte strings; outputs in order.
 
     The pipeline (SURVEY.md §7 step 6): entropy decode on a thread
@@ -63,6 +64,11 @@ def smooth_corpus(datas, opts: QsOptions = None, workers: int = 8,
     finished batches re-encode on the pool.  Unbatchable leftovers
     (bucket of one, exotic sampling, progress callback) fall back to
     the per-image engine between batch programs.
+
+    ``warnings_out``: optional list; the total libjpeg corrupt-data
+    warning count across all files (decode + encode) is appended so
+    callers can mirror the reference CLI's exit code 2
+    (quantsmooth.c:626).
     """
     from . import engine
     from .host.jpegio import JpegCoefFile
@@ -93,7 +99,7 @@ def smooth_corpus(datas, opts: QsOptions = None, workers: int = 8,
         try:
             return _corpus_pipeline(
                 ex, datas, files, imgs, errors, outs, opts, optimize,
-                max_batch, window)
+                max_batch, window, warnings_out)
         finally:
             # close() is idempotent — encode_one already closed the
             # successfully-encoded handles; this releases the native
@@ -104,7 +110,7 @@ def smooth_corpus(datas, opts: QsOptions = None, workers: int = 8,
 
 
 def _corpus_pipeline(ex, datas, files, imgs, errors, outs, opts,
-                     optimize, max_batch, window):
+                     optimize, max_batch, window, warnings_out=None):
     from . import engine
 
     n = len(datas)
@@ -136,8 +142,9 @@ def _corpus_pipeline(ex, datas, files, imgs, errors, outs, opts,
         if res.upsampled is not None:
             f.set_upsampled(res.upsampled[0], res.upsampled[1])
         out = f.save(optimize=optimize)
+        nw = f.num_warnings()   # decode + encode (quantsmooth.c:626)
         f.close()
-        return out
+        return out, nw
 
     enc_futs = []
     inflight = []   # (chunk, assemble) dispatched, not yet drained
@@ -159,8 +166,12 @@ def _corpus_pipeline(ex, datas, files, imgs, errors, outs, opts,
     while inflight:
         drain_one()
 
+    total_warnings = 0
     for i, fut in enc_futs:
-        outs[i] = fut.result()
+        outs[i], nw = fut.result()
+        total_warnings += nw
+    if warnings_out is not None:
+        warnings_out.append(total_warnings)
 
     for i, err in enumerate(errors):
         if err is not None:

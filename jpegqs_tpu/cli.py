@@ -222,6 +222,13 @@ def _main_batch(infiles, outdir, opts, qs_opts) -> int:
     (batch.smooth_corpus) into an output directory."""
     from .batch import smooth_corpus
 
+    names = [os.path.basename(p) for p in infiles]
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:
+        print(f"{PROGNAME}: duplicate output names in batch: "
+              f"{sorted(dup)[0]} (outputs are written to outdir by "
+              f"basename)", file=sys.stderr)
+        return 1
     datas = []
     for p in infiles:
         try:
@@ -238,16 +245,18 @@ def _main_batch(infiles, outdir, opts, qs_opts) -> int:
               file=sys.stderr)
         return 1
     t0 = time.monotonic()
+    warnings_out = []
     try:
         outs = smooth_corpus(datas, qs_opts,
                              optimize=bool(opts["optimize"]),
-                             copy_markers=opts["copy"])
+                             copy_markers=opts["copy"],
+                             warnings_out=warnings_out)
     except ValueError as e:
         print(f"{PROGNAME}: {e}", file=sys.stderr)
         return 1
     elapsed = (time.monotonic() - t0) * 1000
-    for p, out in zip(infiles, outs):
-        dest = os.path.join(outdir, os.path.basename(p))
+    for name, out in zip(names, outs):
+        dest = os.path.join(outdir, name)
         try:
             with open(dest, "wb") as f:
                 f.write(out)
@@ -258,7 +267,8 @@ def _main_batch(infiles, outdir, opts, qs_opts) -> int:
     if opts["info"] & 8:
         print(f"time: {elapsed:.3f} ms ({len(outs)} files)",
               file=sys.stderr)
-    return 0
+    # exit 2 when any file produced libjpeg warnings (quantsmooth.c:626)
+    return 2 if (warnings_out and warnings_out[0]) else 0
 
 
 if __name__ == "__main__":

@@ -673,7 +673,7 @@ def _try_smooth_sharded(img, opts: QsOptions):
     if grid is None:
         return None
     r, ncol = grid
-    if need_downsample and ncol > 1 and \
+    if need_downsample and (flags & UPSAMPLE_UV) and ncol > 1 and \
             comps[0].width_in_blocks // ncol < 2:
         # col-sharded UPSAMPLE needs the right-tail source column
         # shard-local (planar.upsample_chroma_blocks) — fall back to

@@ -175,12 +175,23 @@ def exact_divide(a, b, fence=None):
     true ties broken to the even mantissa.  NaN/inf/0/extreme cases
     fall back to the hardware result (0/0 -> NaN, x/0 -> inf, exactly
     the C semantics the engine relies on).
+
+    The guarded window (|a|, |b| in (1e-20, 1e30), |q| > 1e-34) is
+    where every intermediate stays clear of the XLA/TPU
+    flush-to-zero floor: the midpoint discriminant scales as
+    |a|*2^-24 (> 6e-28 >> 2^-126), and the Dekker mask-split low
+    halves of q and b scale as |q|*2^-23 / |b|*2^-23.  The engine's
+    divides (LQ shrink, JOINT slope, sweep delta, range) have
+    operands provably >= ~1e-7 — their nonzero accumulators are sums
+    whose grain is bounded below by the ulp of integral partial sums
+    — so the window carries >10^13 of margin.  Outside it the
+    hardware quotient is returned unchanged.
     """
     f = fence if fence is not None else (lambda x: x)
     q0 = a / b
-    safe = (jnp.isfinite(q0) & (q0 != 0)
-            & (jnp.abs(a) < F(1e30)) & (jnp.abs(a) > F(1e-30))
-            & (jnp.abs(b) < F(1e30)) & (jnp.abs(b) > F(1e-30)))
+    safe = (jnp.isfinite(q0) & (jnp.abs(q0) > F(1e-34))
+            & (jnp.abs(a) < F(1e30)) & (jnp.abs(a) > F(1e-20))
+            & (jnp.abs(b) < F(1e30)) & (jnp.abs(b) > F(1e-20)))
     a_s = jnp.where(safe, a, F(1))
     b_s = jnp.where(safe, b, F(1))
     q0_s = jnp.where(safe, q0, F(1))

@@ -514,13 +514,13 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
     n_cols = mesh.shape[col_axis] if col_axis is not None else 1
     assert wb_l % n_cols == 0 and wb_c % n_cols == 0
     wbl_loc, wbc_loc = wb_l // n_cols, wb_c // n_cols
-    assert n_cols == 1 or wbl_loc >= 2, \
-        "col-sharded UPSAMPLE needs >= 2 local luma block columns"
     if img_w is None:
         img_w = wb_l * 8
     if img_h is None:
         img_h = hb_l * 8
     do_up = bool(flags & UPSAMPLE_UV) and not (ws == 1 and hs == 1)
+    assert n_cols == 1 or not do_up or wbl_loc >= 2, \
+        "col-sharded UPSAMPLE needs >= 2 local luma block columns"
     tables = None
     if not (flags & LOW_QUALITY):
         tables = make_solver_tables(flags)

@@ -168,6 +168,39 @@ def test_cli_batch_mode(tmp_path, capfd):
         assert_same_coefs(got, ref.read_bytes())
 
 
+def test_cli_batch_duplicate_basenames(tmp_path, capfd):
+    """Inputs whose basenames collide would silently overwrite each
+    other in outdir — refuse with a diagnostic instead."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    d = make_jpeg(32, 32, "flat", seed=44, quality=80)
+    (tmp_path / "a" / "img.jpg").write_bytes(d)
+    (tmp_path / "b" / "img.jpg").write_bytes(d)
+    rc, _ = run_cli(["--batch", "-q", "0", "-n", "1", "-i", "0",
+                     str(tmp_path / "a" / "img.jpg"),
+                     str(tmp_path / "b" / "img.jpg"),
+                     str(tmp_path / "out")])
+    err = capfd.readouterr().err
+    assert rc == 1 and "duplicate" in err
+
+
+def test_cli_batch_exit_2_on_damaged_input(tmp_path, capfd):
+    """A batch containing a corrupt-but-decodable file exits 2, like
+    the single-file path and the reference (quantsmooth.c:626)."""
+    good = make_jpeg(48, 48, "photo", seed=45, quality=80)
+    damaged = good[: len(good) * 2 // 3]
+    (tmp_path / "good.jpg").write_bytes(good)
+    (tmp_path / "bad.jpg").write_bytes(damaged)
+    rc, _ = run_cli(["--batch", "-q", "0", "-n", "1", "-i", "0",
+                     str(tmp_path / "good.jpg"),
+                     str(tmp_path / "bad.jpg"),
+                     str(tmp_path / "out")])
+    capfd.readouterr()
+    assert rc == 2
+    assert (tmp_path / "out" / "good.jpg").exists()
+    assert (tmp_path / "out" / "bad.jpg").exists()
+
+
 def test_num_warnings_accessor():
     from jpegqs_tpu.host.jpegio import JpegCoefFile
     data = make_jpeg(64, 64, "photo", seed=4, quality=80)

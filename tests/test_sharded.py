@@ -342,6 +342,32 @@ def test_engine_auto_sharding_2d_grid(monkeypatch, h, w, color, quality,
     assert got.stop == want.stop
 
 
+@pytest.mark.parametrize("quality,expect_grid", [(5, (1, 2)), (6, None)])
+def test_engine_narrow_joint_col_grid(monkeypatch, quality, expect_grid):
+    """A 4:4:0 strip with ONE local luma block column: JOINT-only (q5)
+    may col-shard (the >=2-column guard is an UPSAMPLE right-tail
+    constraint), while q6 must fall back — and single-device output is
+    reproduced either way."""
+    from util import make_jpeg
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    data = make_jpeg(16, 16, "photo", seed=29, color=True, quality=70,
+                     subsamp=3)   # 4:4:0 -> wb_l == wb_c == 2
+    img = jpegio.read_coefficients(data)
+    opts = QsOptions.from_quality(quality, 2)
+    monkeypatch.setenv("JPEGQS_SHARD_MIN_BLOCKS", "0")
+    want = engine._smooth_fused(img, opts)
+    got = engine._try_smooth_sharded(img, opts)
+    if expect_grid is None:
+        assert got is None   # falls back to the single-device program
+        return
+    assert engine._shard_grid(img, opts) == expect_grid
+    for ci in range(len(img.components)):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+
+
 # ---------------------------------------------------------------------------
 # Resident-tile sharded path (JPEGQS_PALLAS=1 -> interpret-mode kernels
 # with ghost-row boundary exchange; see sharded._sharded_resident_iters)
