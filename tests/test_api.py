@@ -63,3 +63,29 @@ def test_decode_smoothed_matches_reference_decode():
 def test_public_exports():
     for name in jpegqs_tpu.__all__:
         assert hasattr(jpegqs_tpu, name), name
+
+
+def test_example_frontend(tmp_path):
+    """examples/example.py (the example.c port: decode-smoothed ->
+    BMP with a progress callback) runs end to end."""
+    import os
+    import struct
+    import subprocess
+    import sys as _sys
+
+    from util import REPO
+    data = make_jpeg(24, 40, "photo", seed=6, color=True, quality=75)
+    inp = tmp_path / "in.jpg"
+    inp.write_bytes(data)
+    out = tmp_path / "out.bmp"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "examples", "example.py"),
+         str(inp), str(out), "0", "1"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-1500:]
+    blob = out.read_bytes()
+    assert blob[:2] == b"BM"
+    w, h = struct.unpack_from("<ii", blob, 18)
+    assert (w, h) == (40, 24)
