@@ -37,7 +37,8 @@ Options:
                       8 - processing time.
   -f, --flags n     Raw algorithm flag override (masked to 0x7F)
   -c, --copy n      Marker copy: 0 - none, 1 - comments, 2 - all (default)
-      --backend s   JAX platform: tpu (default), cpu
+      --backend s   JAX platform override (tpu, cpu; default is the
+                    ambient JAX backend)
       --trace dir   Write an XLA profiler trace of the smoothing phase
       --batch       Batch mode: inputs... outdir — smooth many files
                     through the bucketed batch pipeline (batch.py)
@@ -181,6 +182,12 @@ def main(argv=None) -> int:
                 print(f"backend: {jax.default_backend()}, "
                       f"solver: {'pallas' if use_pallas() else 'xla'}",
                       file=sys.stderr)
+            if info & 8 and not os.environ.get("JPEGQS_NO_WARMUP"):
+                # the reference's timed region is pure smoothing
+                # (quantsmooth.h:2820-2825, JPEG I/O excluded); a cold
+                # jit would fold XLA compilation into the number, so
+                # warm the program cache with an untimed run first
+                engine.smooth(img, qs_opts)
             t0 = time.monotonic()
             if opts["trace"]:
                 from .utils.profiling import device_trace

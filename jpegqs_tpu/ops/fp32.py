@@ -176,11 +176,14 @@ def exact_divide(a, b, fence=None):
     fall back to the hardware result (0/0 -> NaN, x/0 -> inf, exactly
     the C semantics the engine relies on).
 
-    The guarded window (|a|, |b| in (1e-20, 1e30), |q| > 1e-34) is
+    The guarded window (|a|, |b| in (1e-20, 1e30), |q| > 1e-31) is
     where every intermediate stays clear of the XLA/TPU
     flush-to-zero floor: the midpoint discriminant scales as
     |a|*2^-24 (> 6e-28 >> 2^-126), and the Dekker mask-split low
-    halves of q and b scale as |q|*2^-23 / |b|*2^-23.  The engine's
+    halves of q and b scale as |q|*2^-23 / |b|*2^-23 — the q floor
+    1e-31 > 2^-103 keeps ulp(q) ~ |q|*2^-23 > 2^-126 normal, so the
+    residual of q*b never flushes (a 1e-34 floor admitted quotients
+    whose split low half went subnormal on TPU).  The engine's
     divides (LQ shrink, JOINT slope, sweep delta, range) have
     operands provably >= ~1e-7 — their nonzero accumulators are sums
     whose grain is bounded below by the ulp of integral partial sums
@@ -189,7 +192,7 @@ def exact_divide(a, b, fence=None):
     """
     f = fence if fence is not None else (lambda x: x)
     q0 = a / b
-    safe = (jnp.isfinite(q0) & (jnp.abs(q0) > F(1e-34))
+    safe = (jnp.isfinite(q0) & (jnp.abs(q0) > F(1e-31))
             & (jnp.abs(a) < F(1e30)) & (jnp.abs(a) > F(1e-20))
             & (jnp.abs(b) < F(1e30)) & (jnp.abs(b) > F(1e-20)))
     a_s = jnp.where(safe, a, F(1))

@@ -135,9 +135,18 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
 
     hbs = [c.height_in_blocks for c in comps]
     wbs = [c.width_in_blocks for c in comps]
+    # the >=2-local-luma-columns constraint only binds when the
+    # upsample path actually runs (mirrors the do_up gate in
+    # sharded.make_sharded_ycbcr_smooth): need_downsample and real
+    # subsampling — a raw UPSAMPLE_UV bit on gray/4:4:4 input must not
+    # reject an otherwise valid col-grid factorization
+    ws0 = comps[0].h_samp_factor
+    hs0 = comps[0].v_samp_factor
+    up_live = (need_downsample and bool(flags & UPSAMPLE_UV)
+               and not (ws0 == 1 and hs0 == 1))
     grid = _full_grid(hbs, wbs, ndev,
                       wbl_for_up=(comps[0].width_in_blocks
-                                  if flags & UPSAMPLE_UV else None))
+                                  if up_live else None))
     if grid is None:
         raise ValueError(
             f"component block grids {list(zip(hbs, wbs))} admit no "

@@ -24,7 +24,7 @@ def _in_window(a, b):
         q = np.abs(a.astype(np.float64) / b.astype(np.float64))
     return ((np.abs(a) > np.float32(1e-20)) & (np.abs(a) < np.float32(1e30))
             & (np.abs(b) > np.float32(1e-20)) & (np.abs(b) < np.float32(1e30))
-            & (q > 1e-34))
+            & (q > 1e-31))
 
 
 def test_random_quotients():
@@ -82,7 +82,7 @@ def test_constructed_near_ties():
 def test_split_mask_exact():
     """The mantissa-mask split must recombine exactly across the
     guarded magnitude window (the Dekker products rely on <=12-bit
-    halves; below ~1e-34 the low half goes subnormal and XLA's FTZ
+    halves; below ~2^-103 (~1e-31) the low half goes subnormal and XLA's FTZ
     flushes it — those magnitudes sit outside exact_divide's `safe`
     window by the same token)."""
     from jpegqs_tpu.ops.fp32 import _split_mask
