@@ -479,10 +479,11 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
 
     On a multi-device mesh (len(jax.devices()) > 1) large images are
     automatically sharded across the devices (parallel/sharded.py) —
-    block rows first, block columns for devices that row divisibility
-    would strand (_shard_grid) — bit-identical output, the TPU
-    equivalent of the reference's OpenMP row loop
-    (quantsmooth.h:2552-2554).
+    block rows first (padded to divisibility with masked dead blocks,
+    so ANY row count uses the full device set), block columns only
+    when an image has fewer block rows than devices (_shard_grid) —
+    bit-identical output, the TPU equivalent of the reference's OpenMP
+    row loop (quantsmooth.h:2552-2554, schedule(dynamic) 2586-2588).
     """
     if opts.progress is None:
         res = _try_smooth_sharded(img, opts)
@@ -591,20 +592,18 @@ def _shard_grid(img, opts, allow_col=True):
     None.
 
     Conditions: >1 device, image big enough to beat the per-exchange
-    overhead (override threshold with JPEGQS_SHARD_MIN_BLOCKS), every
-    component's block-row count divisible by the row-axis size (and
-    block-column count by the col-axis size), all quant tables clean
-    (the val<=1 / crafted-file shortcuts keep the single-device path),
-    and sampling factors <= 2.
+    overhead (override threshold with JPEGQS_SHARD_MIN_BLOCKS), all
+    quant tables clean (the val<=1 / crafted-file shortcuts keep the
+    single-device path), and sampling factors <= 2.
 
-    The grid maximizes device count; ties prefer more rows (the
-    row-sharded flow runs the resident-tile kernel loop,
-    sharded._sharded_resident_iters).  A second ``col`` mesh axis picks
-    up devices that row divisibility alone would strand — e.g. a
-    14144x7072 pano (884/442 block rows, 2-adic valuation 2) row-shards
-    only 2 ways on 8 devices but grid-shards 2x4
-    (sharded.borders_from_blocks_sharded2d handles both halo
-    directions, corners included).
+    Pad-to-divisible sharding (parallel/sharded.py) means divisibility
+    never constrains the grid: rows are taken first up to the smallest
+    component's block-row count (the row-sharded flow runs the
+    resident-tile kernel loop, sharded._sharded_resident_iters); a
+    second ``col`` mesh axis only picks up devices when an image has
+    fewer block rows than devices (ultra-wide strips) — the TPU
+    analogue of OpenMP's schedule(dynamic) over arbitrary row counts
+    (quantsmooth.h:2586-2588).
     """
     import os
     import jax
@@ -628,21 +627,11 @@ def _shard_grid(img, opts, allow_col=True):
             return None
     hbs = [c.height_in_blocks for c in comps]
     wbs = [c.width_in_blocks for c in comps]
-    best = (1, 1)
-    for r in range(min(ndev, min(hbs)), 0, -1):
-        if any(h % r for h in hbs):
-            continue
-        c = 1
-        if allow_col:
-            for cc in range(min(ndev // r, min(wbs)), 1, -1):
-                if all(w % cc == 0 for w in wbs):
-                    c = cc
-                    break
-        if r * c > best[0] * best[1]:
-            best = (r, c)
-        if r * c == ndev:
-            break
-    return best if best[0] * best[1] >= 2 else None
+    r = min(ndev, min(hbs))
+    c = 1
+    if allow_col and r < ndev:
+        c = max(1, min(ndev // r, min(wbs)))
+    return (r, c) if r * c >= 2 else None
 
 
 def _grid_mesh(n_rows, n_cols):
@@ -713,11 +702,11 @@ def _try_smooth_sharded(img, opts: QsOptions):
                 ws=ws, hs=hs, flags=flags, niter=niter,
                 img_w=img.width, img_h=img.height, col_axis=col_axis)
             _SHARD_FN_CACHE[key] = fn
-        sh = _sh.row_sharding(mesh, col_axis=col_axis)
-        put = lambda c: jax.device_put(
-            np.asarray(c.coefs, np.int16).reshape(
-                c.height_in_blocks, c.width_in_blocks, 64), sh)
-        oy, ocb, ocr, badv, ups = fn(put(y), put(cb), put(cr),
+        # run() pads non-divisible planes and slices results back; the
+        # jitted shard_map places host inputs per its in_specs
+        arr = lambda c: np.asarray(c.coefs, np.int16).reshape(
+            c.height_in_blocks, c.width_in_blocks, 64)
+        oy, ocb, ocr, badv, ups = fn(arr(y), arr(cb), arr(cr),
                                      tabs(0), tabs(1), tabs(2))
         res.coefs[0] = np.asarray(oy)
         res.coefs[1] = np.asarray(ocb)
@@ -748,11 +737,9 @@ def _try_smooth_sharded(img, opts: QsOptions):
                                          niter=niter, luma=luma,
                                          col_axis=col_axis)
             _SHARD_FN_CACHE[key] = fn
-        coef_dev = jax.device_put(
-            np.asarray(comp.coefs, np.int16).reshape(hb, wb, 64),
-            _sh.row_sharding(mesh, col_axis=col_axis))
+        coef_np = np.asarray(comp.coefs, np.int16).reshape(hb, wb, 64)
         qraw_j, div, x1, qshr = tabs(ci)
-        out, badv = fn(coef_dev, qraw_j, div, x1, qshr)
+        out, badv = fn(coef_np, qraw_j, div, x1, qshr)
         # the device result already carries the tripping component's
         # reference semantics: int16-wrapped dequant merged in via
         # where(badv, ...) and clamped to +/-1023 (quantsmooth.h:2596-

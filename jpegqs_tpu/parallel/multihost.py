@@ -54,16 +54,20 @@ def global_row_mesh():
 
 
 def _full_grid(hbs, wbs, ndev, wbl_for_up=None):
-    """(rows, cols) factorization of ndev with rows dividing every hb
-    and cols dividing every wb (prefer row-heavy splits — the
-    row-sharded flow runs the resident-tile kernel loop), or None.
-    ``wbl_for_up``: luma block columns when the UPSAMPLE right-tail
-    source must stay shard-local (>= 2 local luma block columns)."""
-    for r in range(ndev, 0, -1):
+    """(rows, cols) factorization of ndev with rows <= min block rows
+    and cols <= min block cols (prefer row-heavy splits — the
+    row-sharded flow runs the resident-tile kernel loop), or None when
+    the planes are smaller than any full-device grid.  Divisibility is
+    NOT required: pad-to-divisible sharding (parallel/sharded.py)
+    handles arbitrary row counts, like the reference's OpenMP
+    schedule(dynamic) (quantsmooth.h:2586-2588).  ``wbl_for_up``: luma
+    block columns when the UPSAMPLE right-tail source must stay
+    shard-local (>= 2 local luma block columns)."""
+    for r in range(min(ndev, min(hbs)), 0, -1):
         if ndev % r:
             continue
         c = ndev // r
-        if any(h % r for h in hbs) or any(w % c for w in wbs):
+        if c > min(wbs):
             continue
         if c > 1 and wbl_for_up is not None and wbl_for_up // c < 2:
             continue
@@ -149,10 +153,10 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
                                   if up_live else None))
     if grid is None:
         raise ValueError(
-            f"component block grids {list(zip(hbs, wbs))} admit no "
-            f"(rows, cols) split of {ndev} devices; re-run with a "
-            f"device count sharing a divisor with the block rows or "
-            f"columns")
+            f"component block grids {list(zip(hbs, wbs))} are smaller "
+            f"than any (rows, cols) factorization of {ndev} devices; "
+            f"this image is too small for the distributed path — use "
+            f"engine.smooth (single process)")
     r, ncol = grid
     mesh = global_row_mesh() if ncol == 1 else _grid_mesh_global(r, ncol)
     col_axis = None if ncol == 1 else "col"
@@ -177,8 +181,17 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
             ws=y.h_samp_factor, hs=y.v_samp_factor, flags=flags,
             niter=niter, img_w=img.width, img_h=img.height,
             col_axis=col_axis)
-        ins = [_make_global(np.asarray(c.coefs, np.int16), mesh, spec)
-               for c in comps]
+        # pad non-divisible planes on the host BEFORE building the
+        # global arrays (multi-process shards must tile evenly); run()
+        # slices the results back to the real dims
+        hblp, wblp, hbcp, wbcp = fn.padded_dims
+        pdims = [(hblp, wblp), (hbcp, wbcp), (hbcp, wbcp)]
+        ins = []
+        for c, (hp, wp) in zip(comps, pdims):
+            arr = np.asarray(c.coefs, np.int16)
+            arr = np.pad(arr, ((0, hp - arr.shape[0]),
+                               (0, wp - arr.shape[1]), (0, 0)))
+            ins.append(_make_global(arr, mesh, spec))
         oy, ocb, ocr, badv, ups = fn(ins[0], ins[1], ins[2],
                                      tabs(0), tabs(1), tabs(2))
         res.coefs[0] = _gather(oy)
@@ -206,7 +219,11 @@ def smooth_jpeg_distributed(data: bytes, opts: QsOptions = None):
         fn = _sh.make_sharded_smooth(
             mesh, hb=hb, wb=wb, flags=flags, niter=niter,
             luma=(ci == 0) or not img.is_ycbcr, col_axis=col_axis)
-        coef = _make_global(np.asarray(comp.coefs, np.int16), mesh, spec)
+        hp, wp = fn.padded_dims
+        arr = np.asarray(comp.coefs, np.int16)
+        arr = np.pad(arr, ((0, hp - arr.shape[0]),
+                           (0, wp - arr.shape[1]), (0, 0)))
+        coef = _make_global(arr, mesh, spec)
         qraw_j, div, x1, qshr = tabs(ci)
         out, badv = fn(coef, qraw_j, div, x1, qshr)
         # the tripping component's result already carries the clamped
@@ -237,11 +254,17 @@ def smooth_batch_distributed(coefs_local, qtbl, flags, niter,
     fn = _sh.make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags,
                                  niter=niter, luma=luma,
                                  batch_axis="data")
-    sharding = NamedSharding(mesh, P("data", "row", None, None))
+    # pad non-divisible block rows before the local->global conversion
+    # (even shards required); run() slices the result back to hb x wb
+    hp, wp = fn.padded_dims
+    coefs_local = np.pad(coefs_local, ((0, 0), (0, hp - hb),
+                                       (0, wp - wb), (0, 0)))
     batch = multihost_utils.host_local_array_to_global_array(
         coefs_local, mesh, P("data", "row", None, None))
     out, badv = fn(batch, jnp.asarray(qraw), jnp.asarray(div),
                    jnp.asarray(x1), jnp.asarray(qshr))
+    # the sliced result no longer row-tiles evenly; fetch it per-host
+    # on the batch axis only (rows replicated within each host)
     local = multihost_utils.global_array_to_host_local_array(
-        out, mesh, P("data", "row", None, None))
+        out, mesh, P("data", None, None, None))
     return np.asarray(local).astype(np.int16)

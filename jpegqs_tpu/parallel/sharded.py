@@ -46,6 +46,26 @@ I32 = jnp.int32
 CENTERJSAMPLE = 128
 
 
+def _pad_to(x, m):
+    """Smallest multiple of m >= x."""
+    return -(-x // m) * m
+
+
+def _edge_pos(real, loc):
+    """(rank, local index) of the LAST REAL block row/col when a
+    padded axis is split into per-shard chunks of ``loc``.
+
+    Pad-to-divisible sharding: a plane whose block rows don't divide
+    the mesh axis is padded with dead zero blocks at the bottom/right
+    (the TPU analogue of OpenMP's schedule(dynamic) handing arbitrary
+    row counts to any thread count, quantsmooth.h:2586-2588).  The
+    image edge then sits mid-shard, so edge replication
+    (quantsmooth.h:2612-2620) keys off this position instead of the
+    positional last rank; blocks past it are computed and discarded.
+    """
+    return (real - 1) // loc, (real - 1) % loc
+
+
 # ---------------------------------------------------------------------------
 # Cross-shard pixel-row exchange (the 1px halo of SURVEY §5)
 # ---------------------------------------------------------------------------
@@ -75,13 +95,27 @@ def _row_halo_blocks(pix, hb_loc, wb, axis):
     return above, below
 
 
-def borders_from_blocks_sharded(pix, hb_loc, wb, axis):
+def _fix_bottom_edge(bottom, p, axis, row_edge):
+    """Pad-to-divisible: on the rank holding the last REAL block row,
+    that row's 'below' line is its own bottom pixel line (global-edge
+    replication, quantsmooth.h:2612-2620) instead of the dead pad
+    row's pixels.  bottom [8, hb_loc, wb]; p [8, 8, hb_loc, wb]."""
+    if row_edge is None:
+        return bottom
+    er, el = row_edge
+    fixed = bottom.at[:, el, :].set(p[7, :, el, :])
+    return jnp.where(jax.lax.axis_index(axis) == er, fixed, bottom)
+
+
+def borders_from_blocks_sharded(pix, hb_loc, wb, axis, row_edge=None):
     """Sharded counterpart of planar.borders_from_blocks: solver halo
-    rows with the cross-shard lines ppermute-exchanged."""
+    rows with the cross-shard lines ppermute-exchanged.  ``row_edge``
+    marks the last REAL block row under pad-to-divisible sharding."""
     p = pix.reshape(8, 8, hb_loc, wb)
     above, below = _row_halo_blocks(pix, hb_loc, wb, axis)
     top = jnp.concatenate([above[:, None, :], p[7, :, :-1, :]], axis=1)
     bottom = jnp.concatenate([p[0, :, 1:, :], below[:, None, :]], axis=1)
+    bottom = _fix_bottom_edge(bottom, p, axis, row_edge)
     left = jnp.concatenate([p[:, 0, :, :1], p[:, 7, :, :-1]], axis=2)
     right = jnp.concatenate([p[:, 0, :, 1:], p[:, 7, :, -1:]], axis=2)
     B = hb_loc * wb
@@ -114,23 +148,42 @@ def _col_halo_blocks(pix, hb_loc, wb_loc, axis):
     return left, right
 
 
-def borders_from_blocks_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis):
+def borders_from_blocks_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis,
+                                  row_edge=None, col_edge=None):
     """2-D-sharded counterpart of planar.borders_from_blocks: solver
     halo lines with BOTH the cross-row and cross-column shard lines
-    ppermute-exchanged (block grid sharded over a (row, col) mesh)."""
+    ppermute-exchanged (block grid sharded over a (row, col) mesh).
+    ``row_edge``/``col_edge`` mark the last REAL block row/column
+    under pad-to-divisible sharding."""
     p = pix.reshape(8, 8, hb_loc, wb_loc)
     above, below = _row_halo_blocks(pix, hb_loc, wb_loc, row_axis)
     lefts, rights = _col_halo_blocks(pix, hb_loc, wb_loc, col_axis)
     top = jnp.concatenate([above[:, None, :], p[7, :, :-1, :]], axis=1)
     bottom = jnp.concatenate([p[0, :, 1:, :], below[:, None, :]], axis=1)
+    bottom = _fix_bottom_edge(bottom, p, row_axis, row_edge)
     left = jnp.concatenate([lefts[:, :, None], p[:, 7, :, :-1]], axis=2)
     right = jnp.concatenate([p[:, 0, :, 1:], rights[:, :, None]], axis=2)
+    if col_edge is not None:
+        ecr, ecl = col_edge
+        fixed = right.at[:, :, ecl].set(p[:, 7, :, ecl])
+        right = jnp.where(jax.lax.axis_index(col_axis) == ecr, fixed, right)
     B = hb_loc * wb_loc
     return (top.reshape(8, B), bottom.reshape(8, B),
             left.reshape(8, B), right.reshape(8, B))
 
 
-def blocks_halo10_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis):
+def _fix_dn_edge(dn, p4, axis, row_edge):
+    """halo10 counterpart of _fix_bottom_edge: the last REAL block
+    row's halo bottom line is its own pixel row 7.  dn [1, 8, hb, wb]."""
+    if row_edge is None:
+        return dn
+    er, el = row_edge
+    fixed = dn.at[0, :, el, :].set(p4[7, :, el, :])
+    return jnp.where(jax.lax.axis_index(axis) == er, fixed, dn)
+
+
+def blocks_halo10_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis,
+                            row_edge=None, col_edge=None):
     """2-D-sharded counterpart of planar.blocks_halo10.
 
     Exchange order gives correct diagonal corners: the vertical halo
@@ -139,13 +192,16 @@ def blocks_halo10_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis):
     axis — the horizontal neighbor's edge column already carries its
     own exchanged top/bottom lines, i.e. the diagonal shard's corner
     pixels (same containment argument as the local gather,
-    planar.blocks_halo10)."""
+    planar.blocks_halo10).  ``row_edge``/``col_edge`` mark the last
+    REAL block row/column under pad-to-divisible sharding; the fix
+    lands before the horizontal gather so corners stay correct."""
     p4 = pix.reshape(8, 8, hb_loc, wb_loc)
     above, below = _row_halo_blocks(pix, hb_loc, wb_loc, row_axis)
     up = jnp.concatenate([above[None, :, None, :], p4[7:8, :, :-1, :]],
                          axis=2)
     dn = jnp.concatenate([p4[0:1, :, 1:, :], below[None, :, None, :]],
                          axis=2)
+    dn = _fix_dn_edge(dn, p4, row_axis, row_edge)
     mid = jnp.concatenate([up, p4, dn], axis=0)      # [10, 8, hb, wb]
 
     my_left10 = mid[:, 0, :, 0]                      # [10, hb_loc]
@@ -166,22 +222,29 @@ def blocks_halo10_sharded2d(pix, hb_loc, wb_loc, row_axis, col_axis):
                             mid[:, 7:8, :, :-1]], axis=3)
     right = jnp.concatenate([mid[:, 0:1, :, 1:],
                              right10[:, None, :, None]], axis=3)
+    if col_edge is not None:
+        ecr, ecl = col_edge
+        fixed = right.at[:, 0, :, ecl].set(mid[:, 7, :, ecl])
+        right = jnp.where(jax.lax.axis_index(col_axis) == ecr,
+                          fixed, right)
     return jnp.concatenate([left, mid, right], axis=1).reshape(
         10, 10, hb_loc * wb_loc)
 
 
-def blocks_halo10_sharded(pix, hb_loc, wb, axis):
+def blocks_halo10_sharded(pix, hb_loc, wb, axis, row_edge=None):
     """Sharded counterpart of planar.blocks_halo10: [10, 10, B] block
     neighborhoods with the cross-shard rows exchanged.  Corners work as
     in the local version: the vertical halo (including the exchanged
     lines) is attached before the horizontal gather, so a neighbor's
-    column 7 carries the diagonal blocks' corner pixels."""
+    column 7 carries the diagonal blocks' corner pixels.  ``row_edge``
+    marks the last REAL block row under pad-to-divisible sharding."""
     p4 = pix.reshape(8, 8, hb_loc, wb)
     above, below = _row_halo_blocks(pix, hb_loc, wb, axis)
     up = jnp.concatenate([above[None, :, None, :], p4[7:8, :, :-1, :]],
                          axis=2)
     dn = jnp.concatenate([p4[0:1, :, 1:, :], below[None, :, None, :]],
                          axis=2)
+    dn = _fix_dn_edge(dn, p4, axis, row_edge)
     mid = jnp.concatenate([up, p4, dn], axis=0)          # [10, 8, hb, wb]
     left = jnp.concatenate([mid[:, 0:1, :, :1], mid[:, 7:8, :, :-1]],
                            axis=3)
@@ -230,20 +293,25 @@ def _lane_update(xt, r0, r1, lo, val):
 
 
 @functools.lru_cache(maxsize=None)
-def _ext_mask_parts(hb_loc, wb):
+def _ext_mask_parts(hb_loc, wb, bot_by=None):
     """(base, top_add, bottom_add) int32 [g, 8, 128] mask tiles for the
     ghost-extended local array: left/right replication bits everywhere,
-    top/bottom bits as rank-selected addends for the edge shards."""
+    top/bottom bits as rank-selected addends for the edge shards.
+    ``bot_by``: ghost-indexed local block row carrying the bottom-edge
+    bit (pad-to-divisible sharding puts the last REAL row mid-shard);
+    defaults to the last local row."""
     T = pallas_solver.TILE_BLOCKS
     Bext = (hb_loc + 2) * wb
     bp = (Bext + T - 1) // T * T
     j = np.arange(bp, dtype=np.int64)
     b = np.minimum(j, Bext - 1)
     by, bx = b // wb, b % wb
+    if bot_by is None:
+        bot_by = hb_loc
     base = ((bx == 0) * pallas_solver._BX0
             | (bx == wb - 1) * pallas_solver._BXN).astype(np.int32)
     top = ((by == 1) * pallas_solver._BY0).astype(np.int32)
-    bot = ((by == hb_loc) * pallas_solver._BYN).astype(np.int32)
+    bot = ((by == bot_by) * pallas_solver._BYN).astype(np.int32)
     base[Bext:] = 0
     shape = (bp // T, 8, 128)
     return (base.reshape(shape), top.reshape(shape), bot.reshape(shape))
@@ -272,7 +340,7 @@ def _exchange_ghosts(pix_t, hb_loc, wb, axis):
 
 def _sharded_resident_iters(coef, pix, img2_halo, div, x1, qshr, flags,
                             luma, hb_loc, wb, niter, extra_refresh,
-                            row_axis):
+                            row_axis, row_edge=None):
     """Sharded driver loop on resident tiles: kernel passes with
     in-VMEM neighbor construction, one boundary-line exchange per
     iteration.  The ghost rows are computed like real blocks and
@@ -292,12 +360,13 @@ def _sharded_resident_iters(coef, pix, img2_halo, div, x1, qshr, flags,
     else:
         pix_t = pallas_solver.tile_blocks(
             jnp.pad(pix.reshape(64, B), pad))
-    base, top, bot = _ext_mask_parts(hb_loc, wb)
     n = jax.lax.axis_size(row_axis)
+    er, el = (n - 1, hb_loc - 1) if row_edge is None else row_edge
+    base, top, bot = _ext_mask_parts(hb_loc, wb, el + 1)
     r = jax.lax.axis_index(row_axis)
     masks_t = (jnp.asarray(base)
                + jnp.where(r == 0, jnp.asarray(top), 0)
-               + jnp.where(r == n - 1, jnp.asarray(bot), 0))
+               + jnp.where(r == er, jnp.asarray(bot), 0))
     img2_t = (pallas_solver.tile_blocks(
                   jnp.pad(img2_halo.reshape(100, B), pad))
               if img2_halo is not None else None)
@@ -328,14 +397,17 @@ def _sharded_resident_iters(coef, pix, img2_halo, div, x1, qshr, flags,
 
 def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
                     flags, niter, extra_refresh, luma, tables, row_axis,
-                    col_axis=None):
+                    col_axis=None, row_edge=None, col_edge=None):
     """Local shard of one component pass — the planar analogue of
     engine._component_smooth_body with ppermute halo gathers.
 
     With ``col_axis`` the block grid is sharded over a 2-D spatial
     (row, col) mesh: both halo directions are ppermute-exchanged and
     the pass runs through the materialized-halo kernel path (the
-    ghost-row resident-tile loop is a row-axis optimization)."""
+    ghost-row resident-tile loop is a row-axis optimization).
+
+    ``row_edge``/``col_edge``: (rank, local index) of the last REAL
+    block row/column — pad-to-divisible sharding (see _edge_pos)."""
     from .. import engine as _engine
 
     B = hb_loc * wb
@@ -349,18 +421,23 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
 
     if col_axis is None:
         def mkhalo(p):
-            return blocks_halo10_sharded(p, hb_loc, wb, row_axis)
+            return blocks_halo10_sharded(p, hb_loc, wb, row_axis,
+                                         row_edge=row_edge)
 
         def mkbord(p):
-            return borders_from_blocks_sharded(p, hb_loc, wb, row_axis)
+            return borders_from_blocks_sharded(p, hb_loc, wb, row_axis,
+                                               row_edge=row_edge)
     else:
         def mkhalo(p):
             return blocks_halo10_sharded2d(p, hb_loc, wb, row_axis,
-                                           col_axis)
+                                           col_axis, row_edge=row_edge,
+                                           col_edge=col_edge)
 
         def mkbord(p):
             return borders_from_blocks_sharded2d(p, hb_loc, wb, row_axis,
-                                                 col_axis)
+                                                 col_axis,
+                                                 row_edge=row_edge,
+                                                 col_edge=col_edge)
 
     # same driver-loop shape as engine._component_smooth_body: on the
     # Pallas path the whole loop runs on resident tiles with ghost-row
@@ -368,7 +445,7 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
     if pallas_solver.use_pallas() and niter > 0 and col_axis is None:
         coef, pix = _sharded_resident_iters(
             coef, None, img2_halo, div, x1, qshr, flags, luma, hb_loc,
-            wb, niter, extra_refresh, row_axis)
+            wb, niter, extra_refresh, row_axis, row_edge=row_edge)
     else:
         pix = planar.idct_islow_p(coef.reshape(8, 8, B))
         for it in range(niter):
@@ -392,8 +469,14 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
 
     Returns fn(coef16, qraw, div, x1, qshr[, image2]) -> (coef, badv)
     where coef16 is int16[(batch,)? hb, wb, 64] sharded
-    (batch_axis?, row_axis, col_axis?) over the mesh.  hb must divide
-    evenly by the row-axis size (and wb by the col-axis size).
+    (batch_axis?, row_axis, col_axis?) over the mesh.  Block rows/cols
+    that don't divide the mesh axes are PADDED with dead zero blocks
+    (masked out of the halo reads at the real image edge and sliced
+    off the result) — any plane uses the full device set, like the
+    reference's OpenMP schedule(dynamic) over arbitrary row counts
+    (quantsmooth.h:2586-2588).  Inputs may be passed at the real dims
+    (host arrays are padded here) or pre-padded/pre-sharded at
+    ``fn.padded_dims``.
 
     With ``col_axis`` the plane is sharded over a 2-D spatial mesh —
     block rows AND block columns — for very wide images or large
@@ -411,13 +494,14 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     through the fused Pallas solver kernel per shard.
     """
     n_rows = mesh.shape[row_axis]
-    assert hb % n_rows == 0, f"hb={hb} not divisible by {n_rows} row shards"
-    hb_loc = hb // n_rows
     n_cols = mesh.shape[col_axis] if col_axis is not None else 1
-    assert wb % n_cols == 0, f"wb={wb} not divisible by {n_cols} col shards"
+    assert hb >= n_rows and wb >= n_cols, "more shards than block rows"
+    hb_pad, wb_pad = _pad_to(hb, n_rows), _pad_to(wb, n_cols)
+    hb_loc, wb_loc = hb_pad // n_rows, wb_pad // n_cols
+    row_edge = _edge_pos(hb, hb_loc)
+    col_edge = _edge_pos(wb, wb_loc) if col_axis is not None else None
     assert not (want_pix and col_axis is not None), \
         "want_pix is a row-sharded-flow hook (flat block axis)"
-    wb_loc = wb // n_cols
     tables = None
     if not (flags & LOW_QUALITY):
         tables = make_solver_tables(flags)
@@ -430,15 +514,18 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                 ds = planar.plane_to_fblocks_p(image2, hb_loc, wb_loc
                                                ).astype(I32)
                 img2_halo = (
-                    blocks_halo10_sharded(ds, hb_loc, wb_loc, row_axis)
+                    blocks_halo10_sharded(ds, hb_loc, wb_loc, row_axis,
+                                          row_edge=row_edge)
                     if col_axis is None else
                     blocks_halo10_sharded2d(ds, hb_loc, wb_loc, row_axis,
-                                            col_axis))
+                                            col_axis, row_edge=row_edge,
+                                            col_edge=col_edge))
             coef, pix, badv = _component_body(
                 coef16, qraw, div, x1, qshr, img2_halo, hb_loc=hb_loc,
                 wb=wb_loc, flags=flags, niter=niter,
                 extra_refresh=extra_refresh, luma=luma, tables=tables,
-                row_axis=row_axis, col_axis=col_axis)
+                row_axis=row_axis, col_axis=col_axis, row_edge=row_edge,
+                col_edge=col_edge)
             out = coef.T.reshape(hb_loc, wb_loc, 64)
             if want_pix:
                 return out, badv, pix
@@ -470,13 +557,35 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
 
     sharded = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs, check_vma=False))
+    padded = (hb_pad, wb_pad) != (hb, wb)
+
+    def _prep_coef(c):
+        if not padded or (c.shape[-3], c.shape[-2]) == (hb_pad, wb_pad):
+            return c
+        arr = np.asarray(c)
+        pw = [(0, 0)] * arr.ndim
+        pw[-3] = (0, hb_pad - hb)
+        pw[-2] = (0, wb_pad - wb)
+        return np.pad(arr, pw)
 
     def run(coef16, qraw, div, x1, qshr, image2=None):
+        coef16 = _prep_coef(coef16)
         if image2 is None:
             image2 = jnp.zeros(
-                (hb * 8, wb * 8) if img2_live else (8, 8), I32)
-        return sharded(coef16, qraw, div, x1, qshr, image2, jnp.int32(0))
+                (hb_pad * 8, wb_pad * 8) if img2_live else (8, 8), I32)
+        elif padded and image2.shape == (hb * 8, wb * 8):
+            image2 = np.pad(np.asarray(image2),
+                            ((0, (hb_pad - hb) * 8),
+                             (0, (wb_pad - wb) * 8)))
+        res = sharded(coef16, qraw, div, x1, qshr, image2, jnp.int32(0))
+        if not padded:
+            return res
+        out = res[0][..., :hb, :wb, :]
+        if want_pix:
+            return out, res[1], res[2][..., :hb * wb]
+        return (out,) + tuple(res[1:])
 
+    run.padded_dims = (hb_pad, wb_pad)
     return run
 
 
@@ -498,22 +607,30 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
     pixels (replicate tails are confined to the last block row/column,
     hence shard-local — see planar.upsample_chroma_blocks).
 
-    Requires aligned dims (hb_l == hs*hb_c, wb_l == ws*wb_c), hb_l,
-    hb_c divisible by the row-axis size (and wb_l, wb_c by the
-    col-axis size, with >= 2 local luma block columns so the
-    UPSAMPLE right-tail source stays shard-local); ws, hs in {1, 2}.
-    Returns fn(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c[, qtabs_cr])
-    -> (y, cb, cr, badv, ups) with ups either None or (up_cb, up_cr)
-    int16[hb_l, wb_l, 64] coefficient planes at luma dims.
+    Requires aligned dims (hb_l == hs*hb_c, wb_l == ws*wb_c) and ws, hs
+    in {1, 2}.  Block rows/cols that don't divide the mesh axes are
+    padded with dead zero blocks (chroma padded to the row-axis
+    multiple, luma by hs/ws times that, so the planes stay aligned;
+    results are sliced back).  Column sharding needs >= 2 local luma
+    block columns when UPSAMPLE runs, so the right-tail source stays
+    shard-local.  Returns fn(coef_y, coef_cb, coef_cr, qtabs_y,
+    qtabs_c[, qtabs_cr]) -> (y, cb, cr, badv, ups) with ups either
+    None or (up_cb, up_cr) int16[hb_l, wb_l, 64] coefficient planes at
+    luma dims.
     """
     assert ws in (1, 2) and hs in (1, 2)
     assert hb_l == hs * hb_c and wb_l == ws * wb_c, "aligned dims only"
     n_rows = mesh.shape[row_axis]
-    assert hb_l % n_rows == 0 and hb_c % n_rows == 0
-    hbl_loc, hbc_loc = hb_l // n_rows, hb_c // n_rows
     n_cols = mesh.shape[col_axis] if col_axis is not None else 1
-    assert wb_l % n_cols == 0 and wb_c % n_cols == 0
-    wbl_loc, wbc_loc = wb_l // n_cols, wb_c // n_cols
+    assert hb_c >= n_rows and wb_c >= n_cols, "more shards than block rows"
+    hb_c_pad, wb_c_pad = _pad_to(hb_c, n_rows), _pad_to(wb_c, n_cols)
+    hb_l_pad, wb_l_pad = hs * hb_c_pad, ws * wb_c_pad
+    hbl_loc, hbc_loc = hb_l_pad // n_rows, hb_c_pad // n_rows
+    wbl_loc, wbc_loc = wb_l_pad // n_cols, wb_c_pad // n_cols
+    row_edge_l = _edge_pos(hb_l, hbl_loc)
+    row_edge_c = _edge_pos(hb_c, hbc_loc)
+    col_edge_l = _edge_pos(wb_l, wbl_loc) if col_axis is not None else None
+    col_edge_c = _edge_pos(wb_c, wbc_loc) if col_axis is not None else None
     if img_w is None:
         img_w = wb_l * 8
     if img_h is None:
@@ -527,9 +644,11 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
 
     def mkhalo_c(p):
         if col_axis is None:
-            return blocks_halo10_sharded(p, hbc_loc, wbc_loc, row_axis)
+            return blocks_halo10_sharded(p, hbc_loc, wbc_loc, row_axis,
+                                         row_edge=row_edge_c)
         return blocks_halo10_sharded2d(p, hbc_loc, wbc_loc, row_axis,
-                                       col_axis)
+                                       col_axis, row_edge=row_edge_c,
+                                       col_edge=col_edge_c)
 
     def upsample_one(pix_c, img2_halo, pix_y, row0, col0):
         ch_halo = mkhalo_c(pix_c)
@@ -555,7 +674,8 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
                 cy, qraw_y, div_y, x1_y, qshr_y, None, hb_loc=hbl_loc,
                 wb=wbl_loc, flags=flags, niter=niter, extra_refresh=1,
                 luma=True, tables=tables, row_axis=row_axis,
-                col_axis=col_axis)
+                col_axis=col_axis, row_edge=row_edge_l,
+                col_edge=col_edge_l)
             ds = planar.downsample_blocks(pix_y, hbl_loc, wbl_loc,
                                           hbc_loc, wbc_loc, ws, hs)
             img2_halo = (mkhalo_c(ds)
@@ -566,12 +686,14 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
                 ccb, qraw_c, div_c, x1_c, qshr_c, img2_halo,
                 hb_loc=hbc_loc, wb=wbc_loc, flags=flags, niter=niter,
                 extra_refresh=extra_c, luma=False, tables=tables,
-                row_axis=row_axis, col_axis=col_axis)
+                row_axis=row_axis, col_axis=col_axis,
+                row_edge=row_edge_c, col_edge=col_edge_c)
             cr, pix_cr, bad_cr = _component_body(
                 ccr, qraw_r, div_r, x1_r, qshr_r, img2_halo,
                 hb_loc=hbc_loc, wb=wbc_loc, flags=flags, niter=niter,
                 extra_refresh=extra_c, luma=False, tables=tables,
-                row_axis=row_axis, col_axis=col_axis)
+                row_axis=row_axis, col_axis=col_axis,
+                row_edge=row_edge_c, col_edge=col_edge_c)
 
             # stop propagation (engine._image_smooth_impl): once a
             # component trips the guard, later components fall back to
@@ -607,17 +729,34 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
         in_specs=(pspec,) * 3 + (P(),) * 13,
         out_specs=out_specs, check_vma=False))
 
+    padded = (hb_c_pad, wb_c_pad) != (hb_c, wb_c)
+
+    def _prep(c, hbp, wbp):
+        if not padded or (c.shape[0], c.shape[1]) == (hbp, wbp):
+            return c
+        arr = np.asarray(c)
+        return np.pad(arr, ((0, hbp - arr.shape[0]),
+                            (0, wbp - arr.shape[1]), (0, 0)))
+
     def run(coef_y, coef_cb, coef_cr, qtabs_y, qtabs_c, qtabs_cr=None):
         """qtabs_*: (qraw, div, x1, qshr) int32[64] tuples; Cr defaults
         to the Cb tables (the common shared-chroma-table case)."""
         if qtabs_cr is None:
             qtabs_cr = qtabs_c
-        res = sharded(coef_y, coef_cb, coef_cr, *qtabs_y, *qtabs_c,
-                      *qtabs_cr, jnp.int32(0))
+        res = sharded(_prep(coef_y, hb_l_pad, wb_l_pad),
+                      _prep(coef_cb, hb_c_pad, wb_c_pad),
+                      _prep(coef_cr, hb_c_pad, wb_c_pad),
+                      *qtabs_y, *qtabs_c, *qtabs_cr, jnp.int32(0))
         y, cb, cr, badv = res[:4]
         ups = (res[4], res[5]) if do_up else None
+        if padded:
+            y = y[:hb_l, :wb_l]
+            cb, cr = cb[:hb_c, :wb_c], cr[:hb_c, :wb_c]
+            if ups is not None:
+                ups = (ups[0][:hb_l, :wb_l], ups[1][:hb_l, :wb_l])
         return y, cb, cr, badv, ups
 
+    run.padded_dims = (hb_l_pad, wb_l_pad, hb_c_pad, wb_c_pad)
     return run
 
 

@@ -546,3 +546,188 @@ def test_engine_auto_sharding_crafted_file(monkeypatch):
     assert got.stop == want.stop == 1
     for ci in range(2):
         assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+
+
+# ---------------------------------------------------------------------------
+# Pad-to-divisible sharding: planes whose block rows/cols do NOT divide
+# the mesh axes are padded with dead blocks and masked at the real
+# image edge (the OpenMP schedule(dynamic) analogue,
+# quantsmooth.h:2586-2588).  Everything below compares against the
+# single-device engine bit for bit.
+# ---------------------------------------------------------------------------
+
+def test_sharded_pad_prime_rows():
+    """hb=13 (prime) on 8 row shards: the real bottom edge sits
+    mid-shard; rank 7 is mostly dead rows."""
+    hb, wb = 13, 16
+    coef16, qtbl = _component(hb, wb, seed=41)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=1, niter=2, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=1, niter=2,
+                             luma=True)
+    assert fn.padded_dims == (16, 16)
+    got, badv = fn(coef16.reshape(hb, wb, 64), jnp.asarray(qraw),
+                   jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert got.shape == (hb, wb, 64)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_pad_2d_grid():
+    """Non-divisible rows AND columns on a 2x4 grid: both real edges
+    sit mid-shard; corners must stay exact."""
+    hb, wb = 5, 9
+    coef16, qtbl = _component(hb, wb, seed=43)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=1, niter=2, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("row", "col"))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=1, niter=2,
+                             luma=True, col_axis="col")
+    assert fn.padded_dims == (6, 12)
+    got, badv = fn(coef16.reshape(hb, wb, 64), jnp.asarray(qraw),
+                   jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_pad_joint_image2():
+    """JOINT_YUV with a padded image2 plane: the downsampled-luma halo
+    must replicate at the REAL bottom edge, not read dead rows."""
+    hb, wb = 11, 8
+    rng = np.random.default_rng(45)
+    coef16, qtbl = _component(hb, wb, seed=45)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    interior = rng.integers(0, 256, (hb * 8, wb * 8)).astype(np.int32)
+    image2_padded = np.pad(interior, 1, mode="edge")
+    flags = 2 | 1
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.asarray(image2_padded),
+        hb=hb, wb=wb, flags=flags, niter=2, extra_refresh=0,
+        luma=False, use_image2=True)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags, niter=2,
+                             luma=False, use_image2=True)
+    got, badv = fn(coef16.reshape(hb, wb, 64), jnp.asarray(qraw),
+                   jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr),
+                   interior)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_pad_ycbcr_q6():
+    """Full q6 YCbCr flow with non-divisible chroma rows (9 on 8
+    shards): aligned real dims, padded shards, UPSAMPLE output sliced
+    back to luma dims."""
+    from jpegqs_tpu.parallel.sharded import make_sharded_ycbcr_smooth
+    from jpegqs_tpu.host.jpegio import JpegImage, ComponentData
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    hb_l, wb_l, ws, hs = 18, 12, 2, 2
+    hb_c, wb_c = hb_l // hs, wb_l // ws
+    img_w, img_h = wb_l * 8 - 3, hb_l * 8 - 5
+    rng = np.random.default_rng(47)
+    qt_y = np.clip(rng.integers(2, 60, 64), 1, 255).astype(np.uint16)
+    qt_c = np.clip(rng.integers(2, 40, 64), 1, 255).astype(np.uint16)
+
+    def mkcoef(hb, wb, qt, seed):
+        r = np.random.default_rng(seed)
+        cap = 2047 // qt.astype(np.int32)
+        c = r.integers(-40, 41, (hb, wb, 64)) // (1 + np.arange(64) // 8)
+        return np.clip(c, -cap, cap).astype(np.int16)
+
+    cy = mkcoef(hb_l, wb_l, qt_y, 8)
+    ccb = mkcoef(hb_c, wb_c, qt_c, 9)
+    ccr = mkcoef(hb_c, wb_c, qt_c, 10)
+    img = JpegImage(width=img_w, height=img_h, jpeg_color_space=3,
+                    progressive=False, max_h_samp_factor=ws,
+                    max_v_samp_factor=hs)
+    for ci, (h, w, sf, qt, co) in enumerate((
+            (hb_l, wb_l, (ws, hs), qt_y, cy),
+            (hb_c, wb_c, (1, 1), qt_c, ccb),
+            (hb_c, wb_c, (1, 1), qt_c, ccr))):
+        img.components.append(ComponentData(
+            component_id=ci, h_samp_factor=sf[0], v_samp_factor=sf[1],
+            quant_tbl_no=0 if ci == 0 else 1, width_in_blocks=w,
+            height_in_blocks=h, quantval=qt, coefs=co.copy()))
+    flags = 4 | 2 | 1
+    want = engine.smooth(img, QsOptions(flags=flags, niter=2))
+    assert want.upsampled is not None
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_ycbcr_smooth(mesh, hb_l=hb_l, wb_l=wb_l, hb_c=hb_c,
+                                   wb_c=wb_c, ws=ws, hs=hs, flags=flags,
+                                   niter=2, img_w=img_w, img_h=img_h)
+    assert fn.padded_dims == (32, 12, 16, 6)
+
+    def tabs(qt):
+        qraw = qt.astype(np.int32)
+        div, x1, qshr = make_quant_tables(qraw)
+        return tuple(map(jnp.asarray, (qraw, div, x1, qshr)))
+
+    y, cb, cr, bad, ups = fn(cy, ccb, ccr, tabs(qt_y), tabs(qt_c))
+    assert not bool(bad)
+    assert np.array_equal(np.asarray(y), want.coefs[0])
+    assert np.array_equal(np.asarray(cb), want.coefs[1])
+    assert np.array_equal(np.asarray(cr), want.coefs[2])
+    assert np.array_equal(np.asarray(ups[0]), want.upsampled[0])
+    assert np.array_equal(np.asarray(ups[1]), want.upsampled[1])
+
+
+def test_sharded_resident_pad(monkeypatch):
+    """Ghost-row resident kernel loop with a mid-shard real bottom
+    edge (pad-to-divisible under JPEGQS_PALLAS=1 interpret mode)."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    hb, wb = 13, 8
+    coef16, qtbl = _component(hb, wb, seed=49)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=0, niter=2, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=0, niter=2,
+                             luma=True)
+    got, badv = fn(coef16.reshape(hb, wb, 64), jnp.asarray(qraw),
+                   jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_engine_auto_sharding_prime_rows(monkeypatch):
+    """engine.smooth auto-shards a plane with prime block rows across
+    all 8 devices (pad-to-divisible) bit-identically."""
+    from util import make_jpeg
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    data = make_jpeg(104, 96, "photo", seed=53, color=False, quality=70)
+    img = jpegio.read_coefficients(data)
+    assert img.components[0].height_in_blocks == 13
+    opts = QsOptions.from_quality(3, 2)
+    want = engine._smooth_fused(img, opts)
+    monkeypatch.setenv("JPEGQS_SHARD_MIN_BLOCKS", "0")
+    assert engine._shard_grid(img, opts) == (8, 1)
+    got = engine._try_smooth_sharded(img, opts)
+    assert got is not None
+    for ci in range(len(img.components)):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
