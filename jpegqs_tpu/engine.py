@@ -321,6 +321,47 @@ def _iter_stage_impl(coef, image2, div, x1, qshr, fence, *, hb, wb, flags,
         return coef
 
 
+@partial(jax.jit, static_argnames=("hb", "wb"))
+def _idct_stage(coef, *, hb, wb):
+    """Pass-1 pixel state of one iteration (quantsmooth.h:2586-2609's
+    plane build, minus the iter-0 dequant handled by _dequant_stage)."""
+    return planar.idct_islow_p(coef.reshape(8, 8, hb * wb))
+
+
+@partial(jax.jit, static_argnames=("nrows", "hb", "wb", "flags", "luma",
+                                   "use_image2"))
+def _rows_stage_impl(coef, pix, image2, div, x1, qshr, r0, fence, *,
+                     nrows, hb, wb, flags, luma, use_image2):
+    """One PRECISE_PROGRESS row chunk: the block pass restricted to
+    block rows [r0, r0+nrows) — pass 2 of the reference iteration
+    under -DPRECISE_PROGRESS (quantsmooth.h:2624-2651), where the
+    per-row atomic counter lets the callback fire (and cancel)
+    between rows.  Reads the full pre-iteration pixel state, writes
+    only its own rows' coefficients, so a mid-iteration cancel leaves
+    exactly the reference's partial update."""
+    with fp32.fence_token(fence):
+        tables = None
+        if not (flags & LOW_QUALITY):
+            tables = make_solver_tables(flags)
+        n = nrows * wb
+        start = r0 * wb
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, start, n,
+                                                axis=x.ndim - 1)
+
+        coef_sl = sl(coef)
+        img2 = sl(image2) if use_image2 else None
+        out_sl, _ = block_pass_p(
+            coef_sl, pix, img2, div, x1, qshr, flags, tables, luma,
+            lambda p: sl(planar.blocks_halo10(p, hb, wb)),
+            lambda p: tuple(sl(b)
+                            for b in planar.borders_from_blocks(p, hb, wb)),
+            hb, wb)
+        return jax.lax.dynamic_update_slice_in_dim(coef, out_sl, start,
+                                                   axis=1)
+
+
 @partial(jax.jit, static_argnames=("hb", "wb", "want_plane"))
 def _final_stage_impl(coef, badv, coef_dq, fence, *, hb, wb, want_plane):
     """Final clamp (+ optional plane for the color paths) after the
@@ -485,12 +526,56 @@ def smooth(img, opts: QsOptions) -> SmoothResult:
     bit-identical output, the TPU equivalent of the reference's OpenMP
     row loop (quantsmooth.h:2552-2554, schedule(dynamic) 2586-2588).
     """
-    if opts.progress is None:
-        res = _try_smooth_sharded(img, opts)
-        if res is not None:
-            return res
-        return _smooth_fused(img, opts)
-    return _smooth_percomp(img, opts)
+    try:
+        if opts.progress is None:
+            res = _try_smooth_sharded(img, opts)
+            if res is not None:
+                return res
+            return _smooth_fused(img, opts)
+        return _smooth_percomp(img, opts)
+    except Exception as e:   # device allocation failure -> degrade
+        if not _is_oom(e):
+            raise
+        return _smooth_degraded(img, opts)
+
+
+def _is_oom(e) -> bool:
+    """Device allocation failure (XLA OOM), the condition the
+    reference meets with its malloc-failure degradation
+    (quantsmooth.h:2548-2566)."""
+    s = f"{type(e).__name__}: {e}"
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "out of memory" in s)
+
+
+def _smooth_degraded(img, opts: QsOptions) -> SmoothResult:
+    """Allocation-failure degradation: plain host-side dequantization
+    (reference: quantsmooth.h:2551-2566 — when the scratch plane fails
+    to allocate, each component's coefficients are multiplied by the
+    quant table in place, int16 storage wrap, unclamped, and
+    processing keeps going).  The output is still a valid quant=1
+    JPEG, just unsmoothed.  No device work at all — this must succeed
+    when the device cannot allocate."""
+    res = SmoothResult()
+    comps = img.components
+    res.coefs = [np.asarray(c.coefs, np.int16).copy() for c in comps]
+    num_iter = min(max(opts.niter, 0), ITER_MAX)
+    if num_iter <= 0 and not (opts.flags & UPSAMPLE_UV):
+        return res
+    for ci, comp in enumerate(comps):
+        qraw = np.asarray(comp.quantval, np.int32)
+        if not qraw.any():
+            continue
+        val = int(np.bitwise_or.reduce(qraw))
+        if val >= 0x800:
+            res.stop = 1          # crafted file (quantsmooth.h:2502-2504)
+        if val <= 1:
+            continue              # already processed (2500-2501)
+        hb, wb = comp.height_in_blocks, comp.width_in_blocks
+        c = res.coefs[ci].reshape(hb * wb, 64).astype(np.int32)
+        res.coefs[ci] = (c * qraw[None, :]).astype(np.int16).reshape(
+            hb, wb, 64)
+    return res
 
 
 def prepare_fused(img, opts: QsOptions):
@@ -882,14 +967,46 @@ def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
         coef, badv = _dequant_stage(coef16, qraw_j)
         coef_dq = coef
         canceled = False
-        for it in range(num_iter2):
-            coef = _iter_stage_impl(coef, img2_arg, div, x1, qshr, fence,
-                                    hb=hb, wb=wb, flags=flags, luma=luma,
-                                    use_image2=use_image2)
-            prog_cur += hb * comp.v_samp_factor
-            if report_progress():
-                canceled = True
-                break
+        if opts.precise and opts.progress is not None:
+            # -DPRECISE_PROGRESS: per-row counter semantics
+            # (quantsmooth.h:2632-2665) — chunk each iteration at the
+            # exact rows where the running counter crosses prog_thr,
+            # fire the callback there, and stop mid-iteration on
+            # cancel (remaining rows keep their previous coefs, like
+            # the reference's `if (stop) continue`)
+            prog_inc = comp.v_samp_factor
+            for it in range(num_iter2):
+                pix = _idct_stage(coef, hb=hb, wb=wb)
+                rows_done = 0
+                while rows_done < hb:
+                    need = prog_thr - prog_cur
+                    t = max(1, -(-need // prog_inc))
+                    chunk = int(min(t, hb - rows_done))
+                    coef = _rows_stage_impl(
+                        coef, pix, img2_arg, div, x1, qshr,
+                        jnp.int32(rows_done), fence, nrows=chunk,
+                        hb=hb, wb=wb, flags=flags, luma=luma,
+                        use_image2=use_image2)
+                    rows_done += chunk
+                    prog_cur += chunk * prog_inc
+                    if prog_cur >= prog_thr:
+                        cur = prog_prec * prog_cur // prog_max
+                        prog_thr = ((cur + 1) * prog_max
+                                    + prog_prec - 1) // prog_prec
+                        if opts.progress(opts.userdata, cur, prog_prec):
+                            canceled = True
+                            break
+                if canceled:
+                    break
+        else:
+            for it in range(num_iter2):
+                coef = _iter_stage_impl(coef, img2_arg, div, x1, qshr,
+                                        fence, hb=hb, wb=wb, flags=flags,
+                                        luma=luma, use_image2=use_image2)
+                prog_cur += hb * comp.v_samp_factor
+                if report_progress():
+                    canceled = True
+                    break
         out, padded = _final_stage_impl(
             coef, badv, coef_dq, fence, hb=hb, wb=wb,
             want_plane=want_plane and not canceled)

@@ -57,6 +57,13 @@ class QsOptions:
     (the device runs all blocks in parallel); ``progress`` is called
     between device steps with (userdata, cur, max) and may return truthy
     to cancel, like the reference callback.
+
+    ``precise``: per-block-row progress resolution — the analogue of
+    the reference's -DPRECISE_PROGRESS build option
+    (quantsmooth.h:2632-2665 atomic row counter): iterations are
+    chunked on the block-row axis so the callback fires (and can
+    cancel) mid-iteration whenever ``progprec`` demands sub-iteration
+    resolution.  Default off, matching the reference's default build.
     """
     flags: int = 0
     niter: int = 3
@@ -64,6 +71,7 @@ class QsOptions:
     progprec: int = 0
     userdata: object = None
     progress: Optional[Callable] = None
+    precise: bool = False
 
     @classmethod
     def from_quality(cls, quality: int = 3, niter: int = 3, **kw) -> "QsOptions":

@@ -142,3 +142,89 @@ def test_progress_skipped_component_share(flags):
                      subsamp=1)
     data = _patch_dqt_to_one(data)   # luma table -> all 1
     assert our_trace(data, flags, 3, 0) == ref_trace(data, flags, 3, 0)
+
+
+# ---------------------------------------------------------------------------
+# PRECISE_PROGRESS (-DPRECISE_PROGRESS build): per-block-row counter
+# (quantsmooth.h:2632-2665), opts.precise=True on our side
+# ---------------------------------------------------------------------------
+
+HARNESS_PRECISE = os.path.join(REPO, ".ref", "progress_harness_precise")
+
+
+def ref_trace_precise(data, flags, niter, progprec, cancel_after=0,
+                      out_path=None):
+    ensure_reference()
+    with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+        f.write(data)
+        f.flush()
+        args = [HARNESS_PRECISE, f.name, str(flags), str(niter),
+                str(progprec), str(cancel_after)]
+        if out_path:
+            args.append(out_path)
+        r = subprocess.run(args, capture_output=True, text=True,
+                           check=True)
+    out = []
+    for line in r.stdout.splitlines():
+        if line.startswith("P "):
+            _, cur, mx = line.split()
+            out.append((int(cur), int(mx)))
+    return out
+
+
+def our_trace_precise(data, flags, niter, progprec, cancel_after=0):
+    img = jpegio.read_coefficients(data)
+    calls = []
+
+    def cb(userdata, cur, mx):
+        calls.append((cur, mx))
+        return cancel_after and len(calls) >= cancel_after
+
+    res = engine.smooth(img, QsOptions(flags=flags, niter=niter,
+                                       progprec=progprec, progress=cb,
+                                       precise=True))
+    return calls, res
+
+
+@pytest.mark.parametrize("flags,niter,progprec", [
+    (1, 2, 0),      # default precision (20): sub-iteration crossings
+    (3, 2, 7),
+    (1, 1, 50),     # much finer than iterations can deliver alone
+    (1, 2, -1),     # max resolution: one callback per block row
+])
+def test_precise_progress_trace(flags, niter, progprec):
+    data = make_jpeg(120, 112, "photo", seed=6, color=True, quality=70,
+                     subsamp=1)
+    got, _ = our_trace_precise(data, flags, niter, progprec)
+    assert got == ref_trace_precise(data, flags, niter, progprec)
+
+
+def test_precise_progress_trace_gray():
+    data = make_jpeg(96, 104, "photo", seed=8, quality=75)
+    got, _ = our_trace_precise(data, 1, 2, 0)
+    assert got == ref_trace_precise(data, 1, 2, 0)
+
+
+@pytest.mark.parametrize("cancel_after", [1, 3])
+def test_precise_cancel_mid_iteration_state(tmp_path, cancel_after):
+    """Cancel mid-iteration: the trace AND the partially-updated
+    coefficient planes (rows before the cancel row carry the new
+    iteration, rows after keep the previous one) match the reference's
+    row-granular stop (quantsmooth.h:2632-2665 `if (stop) continue`
+    + the always-run final clamp 2668-2689)."""
+    from util import coef_arrays
+
+    data = make_jpeg(96, 104, "photo", seed=12, quality=75)
+    out = str(tmp_path / "ref_cancel.jpg")
+    # flags | 64 (TRANSCODE) keeps the harness off the scanline-decode
+    # reinit path; the algorithm bits are unaffected
+    want_trace = ref_trace_precise(data, 1 | 64, 3, 0,
+                                   cancel_after=cancel_after,
+                                   out_path=out)
+    want = coef_arrays(open(out, "rb").read())
+    got_trace, res = our_trace_precise(data, 1, 3, 0,
+                                       cancel_after=cancel_after)
+    assert got_trace == want_trace
+    assert res.stop == 1
+    assert np.array_equal(
+        res.coefs[0].reshape(want[0][0].shape), want[0][0])

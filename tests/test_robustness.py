@@ -84,3 +84,36 @@ def test_bad_second_component_stops_rest():
             quant_tbl_no=0, width_in_blocks=8, height_in_blocks=6,
             quantval=qtbl, coefs=coefs[ci].copy()))
     _check(img)
+
+
+def test_alloc_failure_degradation(monkeypatch):
+    """Device allocation failure degrades to plain host-side
+    dequantization and keeps going (reference: quantsmooth.h:2551-2566
+    malloc-failure path) instead of propagating the exception."""
+    from util import make_jpeg
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+
+    data = make_jpeg(32, 32, "photo", seed=3, color=True, quality=70)
+    img = jpegio.read_coefficients(data)
+
+    def boom(*a, **k):
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 123 bytes")
+
+    monkeypatch.setattr(engine, "_image_smooth_impl", boom)
+    res = engine.smooth(img, QsOptions.from_quality(3, 3))
+    assert res.stop == 0
+    for ci, comp in enumerate(img.components):
+        q = np.asarray(comp.quantval, np.int32)
+        want = (np.asarray(comp.coefs, np.int16).astype(np.int32)
+                * q.reshape(1, 1, 64)).astype(np.int16)
+        assert np.array_equal(res.coefs[ci], want), f"comp {ci}"
+    # non-OOM exceptions still propagate
+    def other(*a, **k):
+        raise RuntimeError("something else entirely")
+    monkeypatch.setattr(engine, "_image_smooth_impl", other)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="something else"):
+        engine.smooth(img, QsOptions.from_quality(3, 3))

@@ -731,3 +731,58 @@ def test_engine_auto_sharding_prime_rows(monkeypatch):
     assert got is not None
     for ci in range(len(img.components)):
         assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+
+
+def test_sharded_resident_diagonals(monkeypatch):
+    """Resident-ring sharded loop WITH DIAGONALS (flags=1): the
+    242-term in-VMEM ring rebuild under ghost-row sharding — the
+    q3-q6 multi-chip production path (quantsmooth.h:1411-1488).  One
+    tile per shard keeps the interpret-mode compile small."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    hb, wb = 8, 4
+    coef16, qtbl = _component(hb, wb, seed=61)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=1, niter=2, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=1, niter=2,
+                             luma=True)
+    got, badv = fn(coef16.reshape(hb, wb, 64), jnp.asarray(qraw),
+                   jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu" or len(jax.devices()) < 2,
+    reason="needs a real multi-chip TPU slice")
+def test_sharded_auto_q6_tpu():
+    """Production multi-chip pin: q6 auto-shard on real TPU chips
+    (compiled Pallas resident kernels + real ICI ppermute) ==
+    single-device engine.  Runs only on a >=2-chip slice."""
+    from util import make_jpeg
+    from jpegqs_tpu.host import jpegio
+    from jpegqs_tpu import engine
+    from jpegqs_tpu.options import QsOptions
+    import os
+
+    data = make_jpeg(256, 256, "photo", seed=67, color=True, quality=70)
+    img = jpegio.read_coefficients(data)
+    opts = QsOptions.from_quality(6, 3)
+    want = engine._smooth_fused(img, opts)
+    os.environ["JPEGQS_SHARD_MIN_BLOCKS"] = "0"
+    try:
+        got = engine._try_smooth_sharded(img, opts)
+    finally:
+        del os.environ["JPEGQS_SHARD_MIN_BLOCKS"]
+    assert got is not None
+    for ci in range(len(img.components)):
+        assert np.array_equal(got.coefs[ci], want.coefs[ci]), f"comp {ci}"
+    if want.upsampled is not None:
+        assert np.array_equal(got.upsampled[0], want.upsampled[0])
+        assert np.array_equal(got.upsampled[1], want.upsampled[1])

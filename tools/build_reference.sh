@@ -18,4 +18,10 @@ HARNESS="$(dirname "$0")/progress_harness.c"
 if [ ! -x "$OUT/progress_harness" ] || [ "$HARNESS" -nt "$OUT/progress_harness" ]; then
   gcc $CFLAGS -DNO_SIMD -DQS_HEADER="\"$REF/quantsmooth.h\"" -o "$OUT/progress_harness" "$HARNESS" -ljpeg -lm
 fi
+# -DPRECISE_PROGRESS build (per-row progress, quantsmooth.h:2632-2665);
+# built WITHOUT OpenMP so the row order (and hence the trace and any
+# mid-iteration cancel point) is deterministic
+if [ ! -x "$OUT/progress_harness_precise" ] || [ "$HARNESS" -nt "$OUT/progress_harness_precise" ]; then
+  gcc -Wall -O2 -DNO_SIMD -DPRECISE_PROGRESS -DQS_HEADER="\"$REF/quantsmooth.h\"" -o "$OUT/progress_harness_precise" "$HARNESS" -ljpeg -lm
+fi
 echo "reference oracles built in $OUT"

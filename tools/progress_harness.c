@@ -5,10 +5,12 @@
  * tested against the reference semantics (quantsmooth.h:2474-2482,
  * 2652-2663; libjpegqs.h:42-44).
  *
- * Usage: progress_harness in.jpg flags niter progprec [cancel_after]
+ * Usage: progress_harness in.jpg flags niter progprec [cancel_after [out.jpg]]
  * Prints "P cur max" per callback; with cancel_after > 0 returns 1 from
- * the Nth callback (cancel), then prints "S stop" with the engine's
- * return state by re-reading the coefficients.
+ * the Nth callback (cancel).  With out.jpg the (possibly partially)
+ * smoothed coefficients are written out, so a mid-iteration cancel's
+ * exact coefficient state can be compared (PRECISE_PROGRESS builds:
+ * quantsmooth.h:2632-2665 row-granular stop).
  *
  * Built against the read-only reference tree (include only, no copies).
  */
@@ -59,6 +61,21 @@ int main(int argc, char **argv) {
     opts.progprec = atoi(argv[4]);
     opts.progress = progress_cb;
     do_quantsmooth(&srcinfo, coefs, &opts);
+
+    if (argc > 6) {
+        struct jpeg_compress_struct dstinfo;
+        struct jpeg_error_mgr jdsterr;
+        FILE *fo = fopen(argv[6], "wb");
+        if (!fo) { fprintf(stderr, "open out failed\n"); return 1; }
+        dstinfo.err = jpeg_std_error(&jdsterr);
+        jpeg_create_compress(&dstinfo);
+        jpeg_copy_critical_parameters(&srcinfo, &dstinfo);
+        jpeg_stdio_dest(&dstinfo, fo);
+        jpeg_write_coefficients(&dstinfo, coefs);
+        jpeg_finish_compress(&dstinfo);
+        jpeg_destroy_compress(&dstinfo);
+        fclose(fo);
+    }
 
     jpeg_finish_decompress(&srcinfo);
     jpeg_destroy_decompress(&srcinfo);
