@@ -129,9 +129,12 @@ def main():
     dummy2 = jnp.zeros((1, 1), jnp.int32)
 
     def pano_run():
+        # want_plane=False matches the engine's gray path (the fused
+        # program never builds the padded plane for a gray image)
         c, _, _ = component_smooth(*argsp, dummy2, hb=hbp, wb=wbp,
                                    flags=0, niter=NITER, extra_refresh=0,
-                                   luma=True, use_image2=False)
+                                   luma=True, use_image2=False,
+                                   want_plane=False)
         return c
     c = pano_run()
     _ = np.asarray(c[0, 0])     # sync
@@ -140,6 +143,140 @@ def main():
         c = pano_run()
     _ = np.asarray(c[0, 0])
     pano = 4 * hbp * wbp * 64 / 1e6 / (time.perf_counter() - t0)
+
+    # ---- sharding overhead on ONE chip (VERDICT r3 #1) --------------
+    # The make_sharded_smooth program on a 1-device mesh runs the full
+    # sharded structure — ghost block rows, per-rank edge masks, the
+    # shard_map wrapper — with the exchange a no-op, so (sharded1dev -
+    # plain) / plain isolates the per-chip cost the multi-chip path
+    # adds.  The cross-chip payload itself is 2 pixel lines per
+    # boundary per iteration (reported analytically in KB; it rides
+    # ICI at ~10-100 GB/s, microseconds at these sizes).
+    from jax.sharding import Mesh
+    from jpegqs_tpu.parallel.sharded import make_sharded_smooth
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("row",))
+
+    def interleaved_ratio(run_a, run_b, k, rounds=5):
+        """Median of per-round T_a/T_b with a and b timed back to back
+        inside each round — the tunnel device's absolute speed drifts
+        several percent between measurements, so only within-round
+        comparisons are meaningful (BASELINE.md).  Returns
+        (ratio_median, best_ta, best_tb)."""
+        def chain(run):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(k):
+                out = run()
+            _ = np.asarray(out[(0,) * out.ndim])
+            return time.perf_counter() - t0
+        ratios, bta, btb = [], None, None
+        for _ in range(rounds):
+            ta = chain(run_a)
+            tb = chain(run_b)
+            ratios.append(ta / tb)
+            bta = ta if bta is None else min(bta, ta)
+            btb = tb if btb is None else min(btb, tb)
+        return sorted(ratios)[len(ratios) // 2], bta, btb
+
+    def mk_sharded(coef16_nat, tabs4, hb, wb, flags):
+        fn = make_sharded_smooth(mesh1, hb=hb, wb=wb, flags=flags,
+                                 niter=NITER, luma=True)
+        coef_dev = jnp.asarray(
+            np.asarray(coef16_nat).reshape(hb, wb, 64))
+        return lambda: fn(coef_dev, *tabs4)[0]
+
+    def mk_plain(coef16_nat, tabs4, hb, wb, flags):
+        def run():
+            # want_plane=False: the gray fused engine never builds the
+            # padded plane either, and neither does the sharded body —
+            # keep the two programs structurally identical
+            c, _, _ = component_smooth(
+                coef16_nat, *tabs4, dummy2, hb=hb, wb=wb, flags=flags,
+                niter=NITER, extra_refresh=0, luma=True,
+                use_image2=False, want_plane=False)
+            return c
+        return run
+
+    hbg, wbg = H // 8, W // 8
+    coefg = np.asarray(img.components[0].coefs, np.int16).reshape(
+        hbg * wbg, 64)
+    tabsg = tuple(map(jnp.asarray, (qtblp,) + make_quant_tables(qtblp)))
+    for mk in (mk_plain, mk_sharded):   # warm compiles first
+        mk(jnp.asarray(coefg), tabsg, hbg, wbg, 0)()
+        mk(argsp[0] if mk is mk_plain else coefp, tabsg, hbp, wbp, 0)()
+    r2, _, tb2 = interleaved_ratio(
+        mk_sharded(coefg, tabsg, hbg, wbg, 0),
+        mk_plain(jnp.asarray(coefg), tabsg, hbg, wbg, 0), K)
+    rp, _, tbp = interleaved_ratio(
+        mk_sharded(coefp, tabsg, hbp, wbp, 0),
+        mk_plain(argsp[0], tabsg, hbp, wbp, 0), max(2, K // 10))
+    sh_overhead = {
+        # median within-round T_sharded1dev / T_plain - 1: the per-chip
+        # cost the sharded structure adds (ghost rows + masks + no-op
+        # exchange); negative values are measurement noise
+        "gray2mp_pct": round((r2 - 1) * 100, 1),
+        "pano100mp_pct": round((rp - 1) * 100, 1),
+        # per-boundary per-iteration ppermute payload (2 x 8 pixel
+        # lines, int32): what actually crosses ICI per exchange
+        "exchange_kb_2mp": round(2 * 8 * wbg * 4 / 1024, 1),
+        "exchange_kb_pano": round(2 * 8 * wbp * 4 / 1024, 1),
+    }
+
+    # ---- device-resident batched throughput (VERDICT r3 #5) --------
+    # n same-config color images as ONE program (batch._image_batch_impl)
+    # with inputs resident: quantifies the fixed-stage amortization the
+    # q0 roofline discussion claims.
+    from jpegqs_tpu import batch as _batch
+
+    def batch_metrics(quality, n, k=4, bimg=None):
+        """(batched MP/s, speedup vs n single-image dispatches) —
+        the speedup is a within-round interleaved ratio."""
+        if bimg is None:
+            bimg = cimg
+        opts_b = QsOptions.from_quality(quality, NITER)
+        inputs1, cfg0, meta = engine.prepare_fused(bimg, opts_b)
+        cfg = _batch._BCfg(cfg0, n)
+        inputs = []
+        for ci in sorted(meta["prog_index"],
+                         key=lambda c: meta["prog_index"][c]):
+            comp = bimg.components[ci]
+            qraw = np.asarray(comp.quantval, np.int32)
+            div, x1, qshr = make_quant_tables(qraw)
+            one = np.asarray(comp.coefs, np.int16).reshape(
+                1, comp.height_in_blocks * comp.width_in_blocks, 64)
+            stack = np.broadcast_to(one, (n,) + one.shape[1:]).copy()
+            inputs.append((jnp.asarray(stack), jnp.asarray(qraw),
+                           jnp.asarray(div), jnp.asarray(x1),
+                           jnp.asarray(qshr)))
+        inputs = tuple(inputs)
+        fence = jnp.zeros((), jnp.int32)
+
+        def run_batch():
+            outs, _, _ = _batch._image_batch_impl(inputs, fence, cfg=cfg)
+            return outs[0]
+
+        def run_singles():
+            for _ in range(n):
+                outs, _, _ = engine._image_smooth_impl(inputs1, fence,
+                                                       cfg=cfg0)
+            return outs[0]
+
+        run_batch(); run_singles()   # warm compiles
+        ratio, tb, _ = interleaved_ratio(run_batch, run_singles, k)
+        mps_b = k * n * bimg.width * bimg.height / 1e6 / tb
+        return round(mps_b, 1), round(1.0 / ratio, 2)
+
+    b0, s0 = batch_metrics(0, 8)
+    b3, s3 = batch_metrics(3, 8)
+    # small images are where batching pays: at 0.26 MP the per-image
+    # dispatch floor and fixed stages dominate a q0 run
+    simg = jpegio.read_coefficients(
+        make_jpeg(512, 512, "photo", seed=44, color=True, quality=75,
+                  subsamp=1))
+    bs, ss = batch_metrics(0, 16, k=8, bimg=simg)
+    batch_mps = {"q0_n8": b0, "q0_speedup": s0,
+                 "q3_n8": b3, "q3_speedup": s3,
+                 "q0_small_n16": bs, "q0_small_speedup": ss}
 
     # end-to-end single image (includes tunnel transfer both ways)
     opts = QsOptions.from_quality(QUALITY, NITER)
@@ -157,6 +294,8 @@ def main():
         "value": round(mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mps / base_mps, 3),
+        "sharded_overhead": sh_overhead,
+        "batch": batch_mps,
     }))
 
 

@@ -1046,10 +1046,78 @@ def _smooth_percomp(img, opts: QsOptions) -> SmoothResult:
 def decode_smoothed(data: bytes, opts: QsOptions = None) -> np.ndarray:
     """Decode a JPEG with smoothing applied — the library decode path
     (reference: jpegqs_start_decompress, quantsmooth.h:2882-2905,
-    example.c:78-144).  Returns uint8 pixels (H, W) or (H, W, 3)."""
-    from .host.jpegio import decode_pixels
+    example.c:78-144).  Returns uint8 pixels (H, W) or (H, W, 3).
 
-    return decode_pixels(smooth_jpeg_bytes(data, opts))
+    Re-encode-free: pixels are decoded ON DEVICE from the smoothed
+    coefficient planes (ops/colorout.py — libjpeg-exact IDCT, fancy
+    upsampling and YCbCr->RGB), the TPU-native equivalent of the
+    reference's in-place buffered-image integration
+    (quantsmooth.h:2861-2876), which skips the Huffman encode + decode
+    round trip entirely.  Exotic layouts (non-YCbCr multi-component,
+    unsupported sampling) fall back to the re-encode path; both
+    produce byte-identical pixels (tests/test_api.py)."""
+    from .host.jpegio import decode_pixels, read_coefficients
+
+    if opts is None:
+        opts = QsOptions.from_quality(3, 3)
+    img = read_coefficients(data)
+    res = smooth(img, opts)
+    out = _decode_native(img, res)
+    if out is not None:
+        return out
+    return decode_pixels(_save_result(data, res))
+
+
+def _decode_native(img, res: SmoothResult):
+    """Device pixel decode of a SmoothResult, or None when the layout
+    needs the libjpeg fallback (see decode_smoothed)."""
+    from .ops import colorout
+
+    comps = img.components
+    H, W = img.height, img.width
+    if len(comps) == 1:
+        c = comps[0]
+        return np.asarray(colorout.decode_gray_impl(
+            jnp.asarray(res.coefs[0]), hb=c.height_in_blocks,
+            wb=c.width_in_blocks, H=H, W=W))
+    if len(comps) != 3 or not img.is_ycbcr:
+        return None
+    if res.upsampled is not None:
+        # UPSAMPLE_UV output: all components at luma dims, 1x1 sampled
+        hb, wb = comps[0].height_in_blocks, comps[0].width_in_blocks
+        dims = ((hb, wb, H, W),) * 3
+        planes = (res.coefs[0], res.upsampled[0], res.upsampled[1])
+        ws = hs = 1
+    else:
+        ws, hs = comps[0].h_samp_factor, comps[0].v_samp_factor
+        if (ws, hs) not in ((1, 1), (2, 1), (2, 2)):
+            return None
+        if any(c.h_samp_factor != 1 or c.v_samp_factor != 1
+               for c in comps[1:]):
+            return None
+        dims = tuple(
+            (c.height_in_blocks, c.width_in_blocks,
+             -(-H * c.v_samp_factor // hs), -(-W * c.h_samp_factor // ws))
+            for c in comps)
+        planes = tuple(res.coefs)
+    return np.asarray(colorout.decode_ycc_impl(
+        *(jnp.asarray(p) for p in planes), dims=dims, ws=ws, hs=hs,
+        H=H, W=W))
+
+
+def _save_result(data: bytes, res: SmoothResult,
+                 optimize: bool = False) -> bytes:
+    """Re-encode a SmoothResult into the original container (the
+    transcode tail of quantsmooth.c:552-593)."""
+    from .host.jpegio import JpegCoefFile
+
+    with JpegCoefFile(data) as f:
+        img = f.read()
+        for ci in range(len(img.components)):
+            f.write_coefs(ci, res.coefs[ci])
+        if res.upsampled is not None:
+            f.set_upsampled(res.upsampled[0], res.upsampled[1])
+        return f.save(optimize=optimize)
 
 
 def smooth_jpeg_bytes(data: bytes, opts: QsOptions = None,

@@ -411,7 +411,11 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
     from .. import engine as _engine
 
     B = hb_loc * wb
-    prod = coef16.astype(I32).reshape(B, 64).T * qraw[:, None]  # [64, B]
+    # reshape (a bitcast) BEFORE the widening cast: the [B, 64] int16
+    # view fuses into the dequant transpose exactly like the plain
+    # engine's input path; casting the 3-D array first cost XLA a
+    # full-plane int32 copy
+    prod = coef16.reshape(B, 64).astype(I32).T * qraw[:, None]  # [64, B]
     orv = jnp.bitwise_or.reduce((prod + 0x800).ravel())
     bad_loc = ((orv >> 12) != 0).astype(I32)
     bad_axes = row_axis if col_axis is None else (row_axis, col_axis)
@@ -526,7 +530,13 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                 extra_refresh=extra_refresh, luma=luma, tables=tables,
                 row_axis=row_axis, col_axis=col_axis, row_edge=row_edge,
                 col_edge=col_edge)
-            out = coef.T.reshape(hb_loc, wb_loc, 64)
+            # emit int16 (the contract dtype, half the HBM) and, on the
+            # row-only flow, a flat [B_loc, 64] — the [hb, wb, 64]
+            # reshape inside shard_map costs two extra full-plane
+            # copies at the output boundary; run() reshapes outside
+            out = coef.T.astype(jnp.int16)
+            if col_axis is not None:
+                out = out.reshape(hb_loc, wb_loc, 64)
             if want_pix:
                 return out, badv, pix
             return out, badv
@@ -536,10 +546,12 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
     # full-size zeros plane the traced body never touches
     img2_live = use_image2 and bool(flags & JOINT_YUV)
     img2_spec = P(row_axis, col_axis) if img2_live else P()
+    coef_out = (P(row_axis, col_axis, None) if col_axis is not None
+                else P(row_axis, None))
     if batch_axis is None:
         in_specs = (P(row_axis, col_axis, None), P(), P(), P(), P(),
                     img2_spec, P())
-        out_specs = (P(row_axis, col_axis, None), P())
+        out_specs = (coef_out, P())
         if want_pix:
             out_specs = out_specs + (P(None, None, row_axis),)
         fn = local_fn
@@ -550,8 +562,7 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                                    fence))(coef16)
         in_specs = (P(batch_axis, row_axis, col_axis, None),
                     P(), P(), P(), P(), img2_spec, P())
-        out_specs = (P(batch_axis, row_axis, col_axis, None),
-                     P(batch_axis))
+        out_specs = (P(batch_axis, *tuple(coef_out)), P(batch_axis))
         if want_pix:
             out_specs = out_specs + (P(batch_axis, None, None, row_axis),)
 
@@ -578,14 +589,18 @@ def make_sharded_smooth(mesh: Mesh, *, hb, wb, flags, niter,
                             ((0, (hb_pad - hb) * 8),
                              (0, (wb_pad - wb) * 8)))
         res = sharded(coef16, qraw, div, x1, qshr, image2, jnp.int32(0))
+        out = res[0]
+        if col_axis is None:
+            out = out.reshape(out.shape[:-2] + (hb_pad, wb_pad, 64))
         if not padded:
-            return res
-        out = res[0][..., :hb, :wb, :]
+            return (out,) + tuple(res[1:])
+        out = out[..., :hb, :wb, :]
         if want_pix:
             return out, res[1], res[2][..., :hb * wb]
         return (out,) + tuple(res[1:])
 
     run.padded_dims = (hb_pad, wb_pad)
+    run.jitted = sharded          # introspection/profiling hook
     return run
 
 
@@ -659,7 +674,10 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
         fb = (up - CENTERJSAMPLE).astype(F)
         uc = c_f32_to_i32(roundf(
             planar.fdct_float_p(fb).reshape(64, hbl_loc * wbl_loc)))
-        return uc.T.astype(jnp.int16).reshape(hbl_loc, wbl_loc, 64)
+        out = uc.T.astype(jnp.int16)
+        if col_axis is not None:
+            out = out.reshape(hbl_loc, wbl_loc, 64)
+        return out
 
     def local_fn(cy, ccb, ccr, qraw_y, div_y, x1_y, qshr_y,
                  qraw_c, div_c, x1_c, qshr_c,
@@ -667,7 +685,7 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
         with fp32.fence_token(fence):
             dq = [  # plain-dequant fallbacks for stop propagation
                 (c.astype(I32).reshape(-1, 64) * q[None, :]
-                 ).astype(jnp.int16).astype(I32).reshape(c.shape)
+                 ).astype(jnp.int16)
                 for c, q in ((cy, qraw_y), (ccb, qraw_c), (ccr, qraw_r))]
 
             y, pix_y, bad_y = _component_body(
@@ -697,15 +715,20 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
 
             # stop propagation (engine._image_smooth_impl): once a
             # component trips the guard, later components fall back to
-            # plain dequantization
+            # plain dequantization.  Outputs leave the shard body as
+            # int16 and (row-only flow) flat [B_loc, 64] — the 3-D
+            # reshape at the shard_map output boundary costs full-plane
+            # copies; run() reshapes outside.
             outs = []
             stop = jnp.zeros((), jnp.bool_)
             for res, bad, d, shape in (
                     (y, bad_y, dq[0], (hbl_loc, wbl_loc, 64)),
                     (cb, bad_cb, dq[1], (hbc_loc, wbc_loc, 64)),
                     (cr, bad_cr, dq[2], (hbc_loc, wbc_loc, 64))):
-                out = res.T.reshape(shape)
-                outs.append(jnp.where(stop, d, out).astype(jnp.int16))
+                out = jnp.where(stop, d, res.T.astype(jnp.int16))
+                if col_axis is not None:
+                    out = out.reshape(shape)
+                outs.append(out)
                 stop = stop | bad
             badv = stop
 
@@ -721,9 +744,10 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
             return (*outs, badv)
 
     pspec = P(row_axis, col_axis, None)
-    out_specs = (pspec, pspec, pspec, P())
+    cspec = pspec if col_axis is not None else P(row_axis, None)
+    out_specs = (cspec, cspec, cspec, P())
     if do_up:
-        out_specs = out_specs + (pspec, pspec)
+        out_specs = out_specs + (cspec, cspec)
     sharded = jax.jit(shard_map(
         local_fn, mesh=mesh,
         in_specs=(pspec,) * 3 + (P(),) * 13,
@@ -749,6 +773,13 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
                       *qtabs_y, *qtabs_c, *qtabs_cr, jnp.int32(0))
         y, cb, cr, badv = res[:4]
         ups = (res[4], res[5]) if do_up else None
+        if col_axis is None:   # flat shard outputs -> block grids
+            y = y.reshape(hb_l_pad, wb_l_pad, 64)
+            cb = cb.reshape(hb_c_pad, wb_c_pad, 64)
+            cr = cr.reshape(hb_c_pad, wb_c_pad, 64)
+            if ups is not None:
+                ups = tuple(u.reshape(hb_l_pad, wb_l_pad, 64)
+                            for u in ups)
         if padded:
             y = y[:hb_l, :wb_l]
             cb, cr = cb[:hb_c, :wb_c], cr[:hb_c, :wb_c]
@@ -757,6 +788,7 @@ def make_sharded_ycbcr_smooth(mesh: Mesh, *, hb_l, wb_l, hb_c, wb_c,
         return y, cb, cr, badv, ups
 
     run.padded_dims = (hb_l_pad, wb_l_pad, hb_c_pad, wb_c_pad)
+    run.jitted = sharded          # introspection/profiling hook
     return run
 
 

@@ -1,6 +1,7 @@
 """Library API surface: progress/cancel, decode path, exports."""
 
 import numpy as np
+import pytest
 
 import jpegqs_tpu
 from jpegqs_tpu import engine
@@ -89,3 +90,30 @@ def test_example_frontend(tmp_path):
     assert blob[:2] == b"BM"
     w, h = struct.unpack_from("<ii", blob, 18)
     assert (w, h) == (40, 24)
+
+
+@pytest.mark.parametrize("h,w,color,subsamp,quality,native", [
+    (103, 97, False, 1, 3, True),    # gray, odd dims
+    (50, 42, True, 1, 3, True),      # 4:2:0, odd chroma crops
+    (48, 56, True, 1, 6, True),      # UPSAMPLE_UV output (1x1 comps)
+    (50, 42, True, 2, 5, True),      # 4:2:2 h2v1 fancy
+    (40, 40, True, 0, 5, True),      # 4:4:4, no upsampling
+    (48, 40, True, 3, 3, False),     # 4:4:0 -> re-encode fallback
+])
+def test_decode_smoothed_native_vs_reencode(h, w, color, subsamp,
+                                            quality, native):
+    """The re-encode-free device decode (ops/colorout.py) is
+    byte-identical to libjpeg's decode of the re-encoded file — IDCT,
+    fancy upsampling edge cases (odd dims) and the fixed-point
+    YCbCr->RGB all match (jidctint.c / jdsample.c / jdcolor.c)."""
+    data = make_jpeg(h, w, "photo", seed=9, color=color, quality=70,
+                     subsamp=subsamp)
+    opts = QsOptions.from_quality(quality, 2)
+    img = jpegio.read_coefficients(data)
+    res = engine.smooth(img, opts)
+    got = engine._decode_native(img, res)
+    if not native:
+        assert got is None
+        got = jpegqs_tpu.decode_smoothed(data, opts)
+    want = jpegio.decode_pixels(engine._save_result(data, res))
+    assert np.array_equal(got, want)
