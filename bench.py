@@ -64,11 +64,9 @@ def measure_reference(path_jpg: str) -> float:
 
 
 def main():
+    from jpegqs_tpu.utils import cache as _qs_cache
+    _qs_cache.setup(os.path.join(REPO, ".jax_cache"))
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import numpy as np
     import jax.numpy as jnp
 
@@ -178,9 +176,11 @@ def main():
             btb = tb if btb is None else min(btb, tb)
         return sorted(ratios)[len(ratios) // 2], bta, btb
 
-    def mk_sharded(coef16_nat, tabs4, hb, wb, flags):
-        fn = make_sharded_smooth(mesh1, hb=hb, wb=wb, flags=flags,
-                                 niter=NITER, luma=True)
+    def mk_sharded(coef16_nat, tabs4, hb, wb, flags, mesh=None,
+                   col_axis=None):
+        fn = make_sharded_smooth(mesh or mesh1, hb=hb, wb=wb,
+                                 flags=flags, niter=NITER, luma=True,
+                                 col_axis=col_axis)
         coef_dev = jnp.asarray(
             np.asarray(coef16_nat).reshape(hb, wb, 64))
         return lambda: fn(coef_dev, *tabs4)[0]
@@ -210,12 +210,22 @@ def main():
     rp, _, tbp = interleaved_ratio(
         mk_sharded(coefp, tabsg, hbp, wbp, 0),
         mk_plain(argsp[0], tabsg, hbp, wbp, 0), max(2, K // 10))
+    # 2-D (row x col) grid resident structure on a 1x1 grid mesh:
+    # ghost rows AND columns, 2-D masks, grid embed/extract
+    mesh11 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                  ("row", "col"))
+    grid_run = mk_sharded(coefg, tabsg, hbg, wbg, 0, mesh=mesh11,
+                          col_axis="col")
+    grid_run()   # warm
+    rg, _, _ = interleaved_ratio(
+        grid_run, mk_plain(jnp.asarray(coefg), tabsg, hbg, wbg, 0), K)
     sh_overhead = {
         # median within-round T_sharded1dev / T_plain - 1: the per-chip
         # cost the sharded structure adds (ghost rows + masks + no-op
         # exchange); negative values are measurement noise
         "gray2mp_pct": round((r2 - 1) * 100, 1),
         "pano100mp_pct": round((rp - 1) * 100, 1),
+        "grid2d_2mp_pct": round((rg - 1) * 100, 1),
         # per-boundary per-iteration ppermute payload (2 x 8 pixel
         # lines, int32): what actually crosses ICI per exchange
         "exchange_kb_2mp": round(2 * 8 * wbg * 4 / 1024, 1),

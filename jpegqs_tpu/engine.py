@@ -683,12 +683,13 @@ def _shard_grid(img, opts, allow_col=True):
 
     Pad-to-divisible sharding (parallel/sharded.py) means divisibility
     never constrains the grid: rows are taken first up to the smallest
-    component's block-row count (the row-sharded flow runs the
-    resident-tile kernel loop, sharded._sharded_resident_iters); a
-    second ``col`` mesh axis only picks up devices when an image has
-    fewer block rows than devices (ultra-wide strips) — the TPU
-    analogue of OpenMP's schedule(dynamic) over arbitrary row counts
-    (quantsmooth.h:2586-2588).
+    component's block-row count; a second ``col`` mesh axis only picks
+    up devices when an image has fewer block rows than devices
+    (ultra-wide strips) — the TPU analogue of OpenMP's
+    schedule(dynamic) over arbitrary row counts
+    (quantsmooth.h:2586-2588).  Both flows run the resident-tile
+    kernel loop on the Pallas path (sharded._sharded_resident_iters;
+    the 2-D grid adds ghost block columns).
     """
     import os
     import jax

@@ -639,17 +639,31 @@ def _rebalance_tile(out_ref, div_ref, x1_ref, qshr_ref):
                                              "interpret", "fenced",
                                              "preamble", "do_sweep",
                                              "want_pix", "aux_mode",
-                                             "wb"))
+                                             "wb", "tile_range"))
 def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
                  *, flags, do_rebalance, interpret, fenced, preamble=None,
-                 do_sweep=True, want_pix=False, aux_mode="halo", wb=0):
+                 do_sweep=True, want_pix=False, aux_mode="halo", wb=0,
+                 tile_range=None):
     """aux_mode='halo': aux1_t is the materialized borders/halo tile
     array.  aux_mode='pix': aux1_t is the resident pixel tile array
     [g, 64, 8, 128] (the previous invocation's want_pix output); the
     kernel reads a (2k+1)-tile window of it plus the edge masks and
     rebuilds the neighbor lines in VMEM (wb = blocks per row, static).
-    aux2_t: the downsampled-luma halo tiles ('joint' only)."""
+    aux2_t: the downsampled-luma halo tiles ('joint' only).
+
+    ``tile_range``: optional (t0, t1) — grid over tiles [t0, t1) of the
+    full input arrays only, emitting a [t1-t0, ...] output slice.  Lets
+    a sharded driver split one pass into boundary-tile and interior-
+    tile invocations so the halo ppermute can overlap the interior
+    compute (SURVEY §5); window reads still index the FULL arrays, so
+    blocks near the range split see the same neighbors as in a whole-
+    array pass."""
     g = coef_t.shape[0]
+    t0, gout = 0, g
+    if tile_range is not None:
+        t0, t1 = tile_range
+        assert 0 <= t0 < t1 <= g
+        gout = t1 - t0
     if do_sweep:
         nt = _nt_for(flags)
         ntp = _round_up(nt, 8)
@@ -660,7 +674,7 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
         tabf = np.zeros((64, 8), dtype=np.float32)
     kernel = functools.partial(_solve_kernel, nt, ntp, do_rebalance,
                                fenced, preamble, do_sweep)
-    tile = lambda i, *_: (i, 0, 0, 0)
+    tile = lambda i, *_: (i + t0, 0, 0, 0)
     in_specs = [pl.BlockSpec((1, 64, 8, 128), tile)]
     if aux_mode == "none":
         # no neighbor input at all (pix-bootstrap / rebalance-only
@@ -673,8 +687,10 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
         for d in range(-k, k + 1):
             in_specs.append(pl.BlockSpec(
                 (1, 64, 8, 128),
-                lambda i, *_, d=d: (jnp.clip(i + d, 0, g - 1), 0, 0, 0)))
-        in_specs.append(pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0)))
+                lambda i, *_, d=d: (jnp.clip(i + t0 + d, 0, g - 1),
+                                    0, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 8, 128),
+                                     lambda i, *_: (i + t0, 0, 0)))
         n_in = 2 + nw
     else:
         k = nw = 0
@@ -686,13 +702,13 @@ def _solve_tiled(coef_t, aux1_t, aux2_t, masks_t, div, x1, qshr, fence,
     if preamble == "joint":
         in_specs.append(pl.BlockSpec((1, 100, 8, 128), tile))
         n_in += 1
-    out_spec = pl.BlockSpec((1, 64, 8, 128), tile)
+    out_spec = pl.BlockSpec((1, 64, 8, 128), lambda i, *_: (i, 0, 0, 0))
     out_specs = (out_spec, out_spec) if want_pix else out_spec
-    out_sds = jax.ShapeDtypeStruct(coef_t.shape, jnp.int32)
+    out_sds = jax.ShapeDtypeStruct((gout,) + coef_t.shape[1:], jnp.int32)
     out_shape = (out_sds, out_sds) if want_pix else out_sds
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(g,),
+        grid=(gout,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -881,26 +897,29 @@ def idct_pix_tiles(coef_t, div, x1, qshr, fence=None, interpret=False,
 
 def solve_rebalance_pix(coef_t, pix_t, masks_t, div, x1, qshr, flags,
                         do_rebalance, wb, fence=None, interpret=False,
-                        fenced=None, want_pix=True):
+                        fenced=None, want_pix=True, tile_range=None):
     """Resident-tile solver pass: coef_t/pix_t int32[g, 64, 8, 128]
     (tile_blocks layout), masks_t from edge_masks.  The kernel rebuilds
     the solver borders from the pixel window in VMEM — no XLA gather or
     layout change runs between iterations.  Returns (coef_t, pix_t)
-    (or just coef_t when want_pix=False on the last iteration)."""
+    (or just coef_t when want_pix=False on the last iteration).
+    ``tile_range``: run only tiles [t0, t1) — see _solve_tiled."""
     interpret, fenced, fence = _prep_pix(interpret, fenced, fence)
     return _solve_tiled(coef_t, pix_t, None, masks_t, div, x1, qshr,
                         fence, flags=flags, do_rebalance=do_rebalance,
                         interpret=interpret, fenced=fenced,
-                        want_pix=want_pix, aux_mode="pix", wb=wb)
+                        want_pix=want_pix, aux_mode="pix", wb=wb,
+                        tile_range=tile_range)
 
 
 def solve_fused_pix(coef_t, pix_t, masks_t, image2_t, div, x1, qshr,
                     flags, do_rebalance, wb, fence=None, interpret=False,
-                    fenced=None, want_pix=True):
+                    fenced=None, want_pix=True, tile_range=None):
     """Resident-tile JOINT_YUV / LOW_QUALITY pass: like solve_fused but
     the chroma halo is rebuilt in-kernel from the resident pixel tiles;
     image2_t is the tiled downsampled-luma halo [g, 100, 8, 128]
-    (constant across iterations, tiled once per component)."""
+    (constant across iterations, tiled once per component).
+    ``tile_range``: run only tiles [t0, t1) — see _solve_tiled."""
     interpret, fenced, fence = _prep_pix(interpret, fenced, fence)
     preamble = "joint" if image2_t is not None else "lq"
     do_sweep = not (flags & LOW_QUALITY)
@@ -908,4 +927,5 @@ def solve_fused_pix(coef_t, pix_t, masks_t, image2_t, div, x1, qshr,
                         fence, flags=flags, do_rebalance=do_rebalance,
                         interpret=interpret, fenced=fenced,
                         preamble=preamble, do_sweep=do_sweep,
-                        want_pix=want_pix, aux_mode="pix", wb=wb)
+                        want_pix=want_pix, aux_mode="pix", wb=wb,
+                        tile_range=tile_range)

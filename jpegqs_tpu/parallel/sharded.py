@@ -255,19 +255,28 @@ def blocks_halo10_sharded(pix, hb_loc, wb, axis, row_edge=None):
 
 
 # ---------------------------------------------------------------------------
-# Resident-tile sharded iteration loop (ghost block rows)
+# Resident-tile sharded iteration loop (ghost block rows/columns)
 # ---------------------------------------------------------------------------
 # The Pallas path mirrors engine._pallas_resident_iters: coefficients
 # and pixels stay in the kernel tile layout across iterations and the
 # neighbor lines are rebuilt in VMEM.  Cross-shard coupling is handled
-# with GHOST BLOCK ROWS: the local block array is extended by one block
-# row above and below, and each iteration ppermute-exchanges only the
-# boundary pixel lines into the ghosts (the kernel reads nothing else
-# from them — the top ghosts' pixel rows 56..63 and the bottom ghosts'
-# rows 0..7).  The per-rank edge masks carry the reference's
-# edge-replication bits only on the global edge shards, so interior
-# shards read true neighbor pixels from the ghosts
-# (quantsmooth.h:2612-2620; OpenMP barrier analogue 2609->2624).
+# with GHOST BLOCKS: the local block grid is extended by one block row
+# above and below (and, on a 2-D row x col mesh, one block column left
+# and right), and each iteration ppermute-exchanges only the boundary
+# pixel lines into the ghosts (the kernel reads nothing else from them
+# — the top ghosts' pixel rows 56..63, the bottom ghosts' rows 0..7,
+# the left ghosts' pixel column 7 and the right ghosts' column 0).
+# The per-rank edge masks carry the reference's edge-replication bits
+# only on the global edge shards, so interior shards read true
+# neighbor pixels from the ghosts (quantsmooth.h:2612-2620; OpenMP
+# barrier analogue 2609->2624).
+
+def _overlap_enabled():
+    """JPEGQS_OVERLAP=1: split sharded passes into interior/boundary
+    kernel calls so the halo exchange overlaps interior compute."""
+    import os
+    return os.environ.get("JPEGQS_OVERLAP", "0") not in ("0", "", "false")
+
 
 def _lane_slice(xt, r0, r1, lo, hi):
     """Rows [r0, r1) x flat lanes [lo, hi) of a tiled [g, R, 8, 128]
@@ -317,6 +326,31 @@ def _ext_mask_parts(hb_loc, wb, bot_by=None):
     return (base.reshape(shape), top.reshape(shape), bot.reshape(shape))
 
 
+@functools.lru_cache(maxsize=None)
+def _ext_mask_parts2d(hb_loc, wb_loc, bot_by, right_bx):
+    """(top, bottom, left, right) int32 [g, 8, 128] rank-selected mask
+    addends for the 2-D ghost-extended grid (hb_loc+2) x (wb_loc+2):
+    on a (row, col) mesh EVERY edge-replication bit is rank-dependent
+    (quantsmooth.h:2612-2620 replication happens only at the global
+    image edge).  ``bot_by``/``right_bx``: ghost-indexed local block
+    row/col carrying the bottom/right edge bit (pad-to-divisible
+    sharding puts the real image edge mid-shard)."""
+    T = pallas_solver.TILE_BLOCKS
+    wb_eff = wb_loc + 2
+    Bext = (hb_loc + 2) * wb_eff
+    bp = (Bext + T - 1) // T * T
+    j = np.arange(bp, dtype=np.int64)
+    b = np.minimum(j, Bext - 1)
+    by, bx = b // wb_eff, b % wb_eff
+    top = ((by == 1) * pallas_solver._BY0).astype(np.int32)
+    bot = ((by == bot_by) * pallas_solver._BYN).astype(np.int32)
+    left = ((bx == 1) * pallas_solver._BX0).astype(np.int32)
+    right = ((bx == right_bx) * pallas_solver._BXN).astype(np.int32)
+    shape = (bp // T, 8, 128)
+    return (top.reshape(shape), bot.reshape(shape),
+            left.reshape(shape), right.reshape(shape))
+
+
 def _exchange_ghosts(pix_t, hb_loc, wb, axis):
     """ppermute the boundary pixel lines into the ghost rows: the top
     ghosts receive the upper neighbor's last-row pixel lines (rows
@@ -338,56 +372,177 @@ def _exchange_ghosts(pix_t, hb_loc, wb, axis):
     return pix_t
 
 
+def _col_lane_slice(pix_t, c, lanes):
+    """Pixel column ``c`` (rows c::8 of the 64-axis) of the blocks at
+    the given flat lanes of a tiled [g, 64, 8, 128] array ->
+    [8, len(lanes)].  The lanes of one block COLUMN are strided by the
+    grid width, so this is a small static gather (XLA fuses it into
+    its producer; only the tiny result materializes)."""
+    g = pix_t.shape[0]
+    sub = pix_t[:, c::8]                                # [g, 8, 8, 128]
+    flat = sub.transpose(1, 0, 2, 3).reshape(
+        8, g * pallas_solver.TILE_BLOCKS)
+    return flat[:, jnp.asarray(lanes)]
+
+
+def _col_lane_update(pix_t, c, lanes, val):
+    """Write val [8, len(lanes)] into pixel column ``c`` of the blocks
+    at the given flat lanes (inverse of _col_lane_slice).  Touches only
+    the 8 of 64 pixel rows that hold column ``c`` — an eighth of the
+    array moves, not the whole plane."""
+    g = pix_t.shape[0]
+    sub = pix_t[:, c::8]
+    flat = sub.transpose(1, 0, 2, 3).reshape(
+        8, g * pallas_solver.TILE_BLOCKS)
+    flat = flat.at[:, jnp.asarray(lanes)].set(val)
+    sub = flat.reshape(8, g, 8, 128).transpose(1, 0, 2, 3)
+    return pix_t.at[:, c::8].set(sub)
+
+
+def _exchange_ghosts2d(pix_t, hb_loc, wb_loc, row_axis, col_axis):
+    """2-D-grid ghost exchange: rows first (full extended width), then
+    the edge pixel columns OF THE ROW-EXTENDED array on the column
+    axis.  The ordering gives correct diagonal corners exactly as in
+    blocks_halo10_sharded2d: the horizontal neighbor's edge column
+    already carries its freshly exchanged ghost-row lines — i.e. the
+    diagonal shard's corner pixels — so one row + one column ppermute
+    per iteration covers all 8 neighbor directions
+    (quantsmooth.h:2612-2620; barrier analogue 2609->2624)."""
+    wb_eff = wb_loc + 2
+    pix_t = _exchange_ghosts(pix_t, hb_loc, wb_eff, row_axis)
+    n = jax.lax.axis_size(col_axis)
+    if n == 1:
+        return pix_t
+    rows = np.arange(hb_loc + 2, dtype=np.int64) * wb_eff
+    right_col = _col_lane_slice(pix_t, 7, rows + wb_loc)   # last real col
+    left_col = _col_lane_slice(pix_t, 0, rows + 1)         # first real col
+    from_left = jax.lax.ppermute(
+        right_col, col_axis, [(i, i + 1) for i in range(n - 1)])
+    from_right = jax.lax.ppermute(
+        left_col, col_axis, [(i + 1, i) for i in range(n - 1)])
+    pix_t = _col_lane_update(pix_t, 7, rows, from_left)
+    pix_t = _col_lane_update(pix_t, 0, rows + wb_eff - 1, from_right)
+    return pix_t
+
+
 def _sharded_resident_iters(coef, pix, img2_halo, div, x1, qshr, flags,
                             luma, hb_loc, wb, niter, extra_refresh,
-                            row_axis, row_edge=None):
+                            row_axis, row_edge=None, col_axis=None,
+                            col_edge=None):
     """Sharded driver loop on resident tiles: kernel passes with
     in-VMEM neighbor construction, one boundary-line exchange per
-    iteration.  The ghost rows are computed like real blocks and
-    discarded (2/hb_loc waste — negligible at the plane sizes where
-    multi-chip sharding matters)."""
+    iteration.  The ghost blocks are computed like real blocks and
+    discarded (2/hb_loc waste, plus 2/wb_loc on a column-sharded grid
+    — negligible at the plane sizes where multi-chip sharding
+    matters).  With ``col_axis`` the local grid is ghost-extended on
+    BOTH axes ((hb_loc+2) x (wb_loc+2)) and each iteration runs the
+    row-then-column exchange of _exchange_ghosts2d."""
     B = hb_loc * wb
-    Bext = (hb_loc + 2) * wb
+    wb_eff = wb if col_axis is None else wb + 2
+    Bext = (hb_loc + 2) * wb_eff
     do_reb = not (flags & NO_REBALANCE
                   or (not luma and (flags & NO_REBALANCE_UV)))
-    pad = ((0, 0), (wb, wb))
-    coef_t = pallas_solver.tile_blocks(jnp.pad(coef, pad))
+
+    if col_axis is None:
+        def embed(x, R):
+            return pallas_solver.tile_blocks(
+                jnp.pad(x.reshape(R, B), ((0, 0), (wb, wb))))
+
+        def extract(xt):
+            return pallas_solver.untile_blocks(xt, Bext)[:, wb:wb + B]
+    else:
+        def embed(x, R):
+            xg = x.reshape(R, hb_loc, wb)
+            return pallas_solver.tile_blocks(jnp.pad(
+                xg, ((0, 0), (1, 1), (1, 1))).reshape(R, Bext))
+
+        def extract(xt):
+            xg = pallas_solver.untile_blocks(xt, Bext).reshape(
+                64, hb_loc + 2, wb_eff)
+            return xg[:, 1:-1, 1:-1].reshape(64, B)
+
+    coef_t = embed(coef, 64)
     if pix is None:
-        # kernel-side pixel bootstrap (ghost-row pixels are garbage
-        # until _exchange_ghosts overwrites the lines the kernel reads)
+        # kernel-side pixel bootstrap (ghost pixels are garbage until
+        # the exchange overwrites the lines the kernel reads)
         pix_t = pallas_solver.idct_pix_tiles(coef_t, div, x1, qshr,
                                              fence=fp32.fence_value())
     else:
-        pix_t = pallas_solver.tile_blocks(
-            jnp.pad(pix.reshape(64, B), pad))
+        pix_t = embed(pix.reshape(64, B), 64)
     n = jax.lax.axis_size(row_axis)
     er, el = (n - 1, hb_loc - 1) if row_edge is None else row_edge
-    base, top, bot = _ext_mask_parts(hb_loc, wb, el + 1)
     r = jax.lax.axis_index(row_axis)
-    masks_t = (jnp.asarray(base)
-               + jnp.where(r == 0, jnp.asarray(top), 0)
-               + jnp.where(r == er, jnp.asarray(bot), 0))
-    img2_t = (pallas_solver.tile_blocks(
-                  jnp.pad(img2_halo.reshape(100, B), pad))
+    if col_axis is None:
+        base, top, bot = _ext_mask_parts(hb_loc, wb, el + 1)
+        masks_t = (jnp.asarray(base)
+                   + jnp.where(r == 0, jnp.asarray(top), 0)
+                   + jnp.where(r == er, jnp.asarray(bot), 0))
+    else:
+        nc = jax.lax.axis_size(col_axis)
+        ecr, ecl = (nc - 1, wb - 1) if col_edge is None else col_edge
+        top, bot, left, right = _ext_mask_parts2d(hb_loc, wb, el + 1,
+                                                  ecl + 1)
+        c = jax.lax.axis_index(col_axis)
+        masks_t = (jnp.where(r == 0, jnp.asarray(top), 0)
+                   + jnp.where(r == er, jnp.asarray(bot), 0)
+                   + jnp.where(c == 0, jnp.asarray(left), 0)
+                   + jnp.where(c == ecr, jnp.asarray(right), 0))
+    img2_t = (embed(img2_halo.reshape(100, B), 100)
               if img2_halo is not None else None)
     joint_or_lq = img2_halo is not None or (flags & LOW_QUALITY)
-    for it in range(niter):
-        pix_t = _exchange_ghosts(pix_t, hb_loc, wb, row_axis)
-        keep = bool(it < niter - 1 or extra_refresh)
+
+    def kern(pix_in, keep, tile_range=None):
         if joint_or_lq:
-            out = pallas_solver.solve_fused_pix(
-                coef_t, pix_t, masks_t, img2_t, div, x1, qshr, flags,
-                do_reb, wb, fence=fp32.fence_value(), want_pix=keep)
+            return pallas_solver.solve_fused_pix(
+                coef_t, pix_in, masks_t, img2_t, div, x1, qshr, flags,
+                do_reb, wb_eff, fence=fp32.fence_value(), want_pix=keep,
+                tile_range=tile_range)
+        return pallas_solver.solve_rebalance_pix(
+            coef_t, pix_in, masks_t, div, x1, qshr, flags, do_reb,
+            wb_eff, fence=fp32.fence_value(), want_pix=keep,
+            tile_range=tile_range)
+
+    # exchange/compute overlap (JPEGQS_OVERLAP=1, row flow): split each
+    # pass into interior tiles — whose (2k+1)-tile windows cannot reach
+    # the ghost lanes, so they read the PRE-exchange pixel buffer and
+    # carry no data dependency on the ppermute — and boundary tiles
+    # that wait for it.  XLA's latency-hiding scheduler can then fly
+    # the collective under the interior kernel (SURVEY §5).  Default
+    # off: the exchange payload is KBs against ms of kernel per
+    # iteration, and the split pays two full-plane concats (measured
+    # in tools/profile_overlap.py; see BASELINE.md).
+    T = pallas_solver.TILE_BLOCKS
+    g = coef_t.shape[0]
+    t_lo = -(-wb_eff // T) + pallas_solver._win_k(wb_eff)
+    t_hi = ((hb_loc + 1) * wb_eff) // T - pallas_solver._win_k(wb_eff)
+    overlap = (col_axis is None and t_lo < t_hi and g > 1
+               and _overlap_enabled())
+
+    for it in range(niter):
+        keep = bool(it < niter - 1 or extra_refresh)
+        if overlap:
+            pix_new = _exchange_ghosts(pix_t, hb_loc, wb, row_axis)
+            mid = kern(pix_t, keep, tile_range=(t_lo, t_hi))
+            lo = kern(pix_new, keep, tile_range=(0, t_lo))
+            hi = kern(pix_new, keep, tile_range=(t_hi, g))
+            if keep:
+                coef_t = jnp.concatenate([lo[0], mid[0], hi[0]])
+                pix_t = jnp.concatenate([lo[1], mid[1], hi[1]])
+            else:
+                coef_t = jnp.concatenate([lo, mid, hi])
+            continue
+        if col_axis is None:
+            pix_t = _exchange_ghosts(pix_t, hb_loc, wb, row_axis)
         else:
-            out = pallas_solver.solve_rebalance_pix(
-                coef_t, pix_t, masks_t, div, x1, qshr, flags, do_reb,
-                wb, fence=fp32.fence_value(), want_pix=keep)
+            pix_t = _exchange_ghosts2d(pix_t, hb_loc, wb, row_axis,
+                                       col_axis)
+        out = kern(pix_t, keep)
         if keep:
             coef_t, pix_t = out
         else:
             coef_t = out
-    coef = pallas_solver.untile_blocks(coef_t, Bext)[:, wb:wb + B]
-    pix = pallas_solver.untile_blocks(pix_t, Bext)[:, wb:wb + B]
+    coef = extract(coef_t)
+    pix = extract(pix_t)
     return coef, pix.reshape(8, 8, B)
 
 
@@ -402,9 +557,9 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
     engine._component_smooth_body with ppermute halo gathers.
 
     With ``col_axis`` the block grid is sharded over a 2-D spatial
-    (row, col) mesh: both halo directions are ppermute-exchanged and
-    the pass runs through the materialized-halo kernel path (the
-    ghost-row resident-tile loop is a row-axis optimization).
+    (row, col) mesh: both halo directions are ppermute-exchanged; on
+    the Pallas path the resident-tile loop runs with ghost rows AND
+    ghost columns (one row + one column exchange per iteration).
 
     ``row_edge``/``col_edge``: (rank, local index) of the last REAL
     block row/column — pad-to-divisible sharding (see _edge_pos)."""
@@ -444,12 +599,14 @@ def _component_body(coef16, qraw, div, x1, qshr, img2_halo, *, hb_loc, wb,
                                                  col_edge=col_edge)
 
     # same driver-loop shape as engine._component_smooth_body: on the
-    # Pallas path the whole loop runs on resident tiles with ghost-row
-    # boundary exchanges; the XLA path exchanges materialized halos
-    if pallas_solver.use_pallas() and niter > 0 and col_axis is None:
+    # Pallas path the whole loop runs on resident tiles with ghost-
+    # block boundary exchanges (1-D row or 2-D row x col grid); the
+    # XLA path exchanges materialized halos
+    if pallas_solver.use_pallas() and niter > 0:
         coef, pix = _sharded_resident_iters(
             coef, None, img2_halo, div, x1, qshr, flags, luma, hb_loc,
-            wb, niter, extra_refresh, row_axis, row_edge=row_edge)
+            wb, niter, extra_refresh, row_axis, row_edge=row_edge,
+            col_axis=col_axis, col_edge=col_edge)
     else:
         pix = planar.idct_islow_p(coef.reshape(8, 8, B))
         for it in range(niter):

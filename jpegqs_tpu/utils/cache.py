@@ -1,0 +1,72 @@
+"""Persistent-compile-cache setup shared by tests, bench and tools.
+
+Two hardening measures over plain ``jax_compilation_cache_dir``:
+
+1. **Per-machine cache subdirectory.**  jax's CPU cache key does NOT
+   include the compile machine's CPU features; loading an executable
+   AOT-compiled on a different host prints
+   ``cpu_aot_loader: Machine type ... doesn't match`` warnings and,
+   after ~175 such loads in one process, the next large
+   deserialize/compress SEGFAULTS (measured: full-suite runs died at
+   item 176 regardless of which tests ran, always under
+   compilation_cache.py get/put).  Dev sessions here rotate between
+   hosts, so the cache directory is suffixed with a fingerprint of
+   /proc/cpuinfo flags — a new machine starts a fresh cache instead of
+   deserializing another machine's code.
+
+2. **zlib entry codec.**  jax's default zstandard writer also crashed
+   sporadically serializing the very large interpret-mode sharded
+   programs.  New entries are written with stdlib ``zlib`` (level 1 —
+   write-once read-many; speed over ratio) and the format magic is
+   sniffed on read, so zstd entries written by unpatched processes on
+   the same machine stay valid.
+"""
+
+import hashlib
+import os
+import zlib
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def machine_fingerprint() -> str:
+    """Stable 8-hex-char fingerprint of this host's CPU feature set."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(flags.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]
+
+
+def setup(cache_dir: str) -> None:
+    """Point jax's persistent compilation cache at the per-machine
+    subdirectory of ``cache_dir`` and install the zlib-write /
+    format-sniffing-read codec."""
+    import jax
+    from jax._src import compilation_cache as cc
+
+    sub = os.path.join(cache_dir, machine_fingerprint())
+    os.makedirs(sub, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", sub)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    if getattr(cc, "_jpegqs_zlib_codec", False):
+        return
+    zstd_mod = getattr(cc, "zstandard", None)
+
+    def compress_executable(data: bytes) -> bytes:
+        return zlib.compress(data, 1)
+
+    def decompress_executable(data: bytes) -> bytes:
+        if data[:4] == _ZSTD_MAGIC and zstd_mod is not None:
+            return zstd_mod.ZstdDecompressor().decompress(data)
+        return zlib.decompress(data)
+
+    cc.compress_executable = compress_executable
+    cc.decompress_executable = decompress_executable
+    cc._jpegqs_zlib_codec = True

@@ -28,8 +28,11 @@ import jax  # noqa: E402
 # the config update below actually takes effect.
 jax.config.update("jax_platforms",
                   os.environ.get("JPEGQS_TEST_PLATFORM", "cpu"))
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+# Cache dir + the zlib-write codec (jax's zstandard writer segfaults
+# sporadically on the giant interpret-mode programs — see
+# jpegqs_tpu/utils/cache.py and CLAUDE.md).
+from jpegqs_tpu.utils import cache as _qs_cache  # noqa: E402
+
+_qs_cache.setup(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache"))

@@ -81,10 +81,16 @@ def test_example_frontend(tmp_path):
     out = tmp_path / "out.bmp"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # share the persistent compile cache: without it the subprocess
+    # recompiles its program every run, and a cold compile under a
+    # concurrently compiling test suite can blow the timeout
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
     r = subprocess.run(
         [_sys.executable, os.path.join(REPO, "examples", "example.py"),
          str(inp), str(out), "0", "1"],
-        env=env, capture_output=True, text=True, timeout=300)
+        env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-1500:]
     blob = out.read_bytes()
     assert blob[:2] == b"BM"

@@ -426,6 +426,117 @@ def test_sharded_resident_joint(monkeypatch):
     assert np.array_equal(np.asarray(got), want)
 
 
+def test_sharded_resident_2d_grid(monkeypatch):
+    """Ghost-row AND ghost-column resident loop on a 2-D (row x col)
+    spatial mesh: one row + one column boundary exchange per
+    iteration, everything else kernel-resident; output bit-identical
+    to the single-device engine."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    hb, wb = 8, 12
+    coef16, qtbl = _component(hb, wb, seed=71)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=0, niter=2, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("row", "col"))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=0, niter=2,
+                             luma=True, col_axis="col")
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh, col_axis="col"))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_resident_2d_joint(monkeypatch):
+    """2-D-grid resident loop, JOINT_YUV chroma: the grid-embedded
+    image2 halo rides the ghost-extended tile layout."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    hb, wb = 8, 8
+    rng = np.random.default_rng(75)
+    coef16, qtbl = _component(hb, wb, seed=75)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    interior = rng.integers(0, 256, (hb * 8, wb * 8)).astype(np.int32)
+    image2_padded = np.pad(interior, 1, mode="edge")
+    flags = 2  # JOINT_YUV, no DIAGONALS (small interpret programs)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.asarray(image2_padded),
+        hb=hb, wb=wb, flags=flags, niter=2, extra_refresh=0,
+        luma=False, use_image2=True)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("row", "col"))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=flags, niter=2,
+                             luma=False, use_image2=True, col_axis="col")
+    got, badv = fn(coef16.reshape(hb, wb, 64), jnp.asarray(qraw),
+                   jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr),
+                   jnp.asarray(interior))
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_resident_2d_pad_diag(monkeypatch):
+    """2-D-grid resident loop with DIAGONALS (in-VMEM corner rebuild
+    through the ghost columns) and pad-to-divisible real edges
+    mid-shard on BOTH axes (hb=9 on 4 row-shards, wb=6 on 2)."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    hb, wb = 9, 6
+    coef16, qtbl = _component(hb, wb, seed=74)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=1, niter=1, extra_refresh=0,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("row", "col"))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=1, niter=1,
+                             luma=True, col_axis="col")
+    got, badv = fn(coef16.reshape(hb, wb, 64), jnp.asarray(qraw),
+                   jnp.asarray(div), jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_sharded_resident_overlap_split(monkeypatch):
+    """JPEGQS_OVERLAP=1: each resident pass splits into interior tiles
+    (reading the PRE-exchange pixels — no data dependency on the
+    ppermute, so XLA can fly the collective under them) and boundary
+    tiles that wait for it.  Needs a plane big enough that interior
+    tiles exist (hb_loc=7, wb=512 -> tiles 2..3 of 5 are interior);
+    2 shards keep the interpret-mode run time bounded; output must
+    match the single-device engine bit for bit."""
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    monkeypatch.setenv("JPEGQS_OVERLAP", "1")
+    hb, wb = 14, 512
+    coef16, qtbl = _component(hb, wb, seed=81)
+    qraw = qtbl.astype(np.int32)
+    div, x1, qshr = make_quant_tables(qtbl)
+    monkeypatch.setenv("JPEGQS_PALLAS", "0")  # fast XLA oracle
+    want, _, _ = component_smooth(
+        jnp.asarray(coef16), jnp.asarray(qraw), jnp.asarray(div),
+        jnp.asarray(x1), jnp.asarray(qshr), jnp.zeros((1, 1), jnp.int32),
+        hb=hb, wb=wb, flags=0, niter=1, extra_refresh=1,
+        luma=True, use_image2=False)
+    want = np.asarray(want).reshape(hb, wb, 64)
+    monkeypatch.setenv("JPEGQS_PALLAS", "1")
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("row",))
+    fn = make_sharded_smooth(mesh, hb=hb, wb=wb, flags=0, niter=1,
+                             extra_refresh=1, luma=True)
+    coef_dev = jax.device_put(coef16.reshape(hb, wb, 64),
+                              row_sharding(mesh))
+    got, badv = fn(coef_dev, jnp.asarray(qraw), jnp.asarray(div),
+                   jnp.asarray(x1), jnp.asarray(qshr))
+    assert not bool(badv)
+    assert np.array_equal(np.asarray(got), want)
+
+
 @pytest.mark.parametrize("flags,niter", [(1, 2), (8 | 1, 1)])
 def test_sharded_2d_mesh_matches_single_device(flags, niter):
     """2-D SPATIAL mesh (block rows x block columns): both halo

@@ -17,9 +17,8 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+from jpegqs_tpu.utils import cache as _qs_cache
+_qs_cache.setup(os.path.join(REPO, ".jax_cache"))
 import jax.numpy as jnp
 import numpy as np
 

@@ -84,10 +84,8 @@ def worker(args):
     from jpegqs_tpu.host.jpegio import JpegCoefFile
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from jpegqs_tpu.utils import cache as _qs_cache
+    _qs_cache.setup(os.path.join(REPO, ".jax_cache"))
 
     if args.coordinator is not None:
         multihost.initialize(coordinator_address=args.coordinator,

@@ -23,10 +23,8 @@ def main():
     workers = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from jpegqs_tpu.utils import cache as _qs_cache
+    _qs_cache.setup(os.path.join(REPO, ".jax_cache"))
 
     from util import make_jpeg
     from jpegqs_tpu import smooth_many, QsOptions
