@@ -8,10 +8,18 @@ level -> decode to pixels -> write a BMP, with a progress callback.
     python examples/example.py input.jpg output.bmp [quality] [niter]
 """
 
+import os
 import struct
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+if os.environ.get("JPEGQS_CACHE_DIR"):
+    # Per-machine persistent-cache subdir + zlib codec (utils/cache.py)
+    # — pointing JAX_COMPILATION_CACHE_DIR at the flat dir would load
+    # other hosts' AOT code on rotated dev machines.
+    from jpegqs_tpu.utils import cache as _qs_cache
+    _qs_cache.setup(os.environ["JPEGQS_CACHE_DIR"])
 
 from jpegqs_tpu import decode_smoothed, QsOptions
 

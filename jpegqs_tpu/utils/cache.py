@@ -57,14 +57,21 @@ def setup(cache_dir: str) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     if getattr(cc, "_jpegqs_zlib_codec", False):
         return
-    zstd_mod = getattr(cc, "zstandard", None)
+    zstandard_mod = getattr(cc, "zstandard", None)
+    # jax prefers the 'zstd' module over 'zstandard' when both exist;
+    # entries written by an unpatched process may be zstd frames even
+    # on an env where 'zstandard' is absent.
+    zstd_mod = getattr(cc, "zstd", None)
 
     def compress_executable(data: bytes) -> bytes:
         return zlib.compress(data, 1)
 
     def decompress_executable(data: bytes) -> bytes:
-        if data[:4] == _ZSTD_MAGIC and zstd_mod is not None:
-            return zstd_mod.ZstdDecompressor().decompress(data)
+        if data[:4] == _ZSTD_MAGIC:
+            if zstandard_mod is not None:
+                return zstandard_mod.ZstdDecompressor().decompress(data)
+            if zstd_mod is not None:
+                return zstd_mod.decompress(data)
         return zlib.decompress(data)
 
     cc.compress_executable = compress_executable

@@ -83,10 +83,10 @@ def test_example_frontend(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     # share the persistent compile cache: without it the subprocess
     # recompiles its program every run, and a cold compile under a
-    # concurrently compiling test suite can blow the timeout
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
-    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
-    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    # concurrently compiling test suite can blow the timeout.  Routed
+    # through utils.cache.setup (JPEGQS_CACHE_DIR) so the subprocess
+    # uses the per-machine subdir + zlib codec, not the flat dir.
+    env["JPEGQS_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
     r = subprocess.run(
         [_sys.executable, os.path.join(REPO, "examples", "example.py"),
          str(inp), str(out), "0", "1"],
