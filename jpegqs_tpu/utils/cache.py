@@ -29,6 +29,29 @@ import zlib
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 
+def raise_stack_limit() -> None:
+    """Raise the main-thread stack soft limit (hard limit permitting).
+
+    XLA's executable (de)serialization recurses deeply on the very
+    large interpret-mode sharded programs; under a long test-suite
+    process (deep pytest + tracing stacks already in place) the
+    default 8 MB soft limit has produced hard SIGSEGVs inside
+    ``executable.serialize()`` at cache-write time (observed round 5,
+    tests/test_sharded.py under the full suite; standalone the same
+    test passes).  The Linux main-thread stack grows on demand up to
+    the *current* soft limit, so raising it at runtime is effective."""
+    try:
+        import resource
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = 512 * 1024 * 1024
+        if hard != resource.RLIM_INFINITY:
+            want = min(want, hard)
+        if soft != resource.RLIM_INFINITY and soft < want:
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+    except (ImportError, ValueError, OSError):
+        pass
+
+
 def machine_fingerprint() -> str:
     """Stable 8-hex-char fingerprint of this host's CPU feature set."""
     try:
@@ -50,6 +73,7 @@ def setup(cache_dir: str) -> None:
     import jax
     from jax._src import compilation_cache as cc
 
+    raise_stack_limit()
     sub = os.path.join(cache_dir, machine_fingerprint())
     os.makedirs(sub, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", sub)
