@@ -87,16 +87,31 @@ def setup(cache_dir: str) -> None:
     # on an env where 'zstandard' is absent.
     zstd_mod = getattr(cc, "zstd", None)
 
+    log_path = os.environ.get("JPEGQS_CACHE_LOG")
+    stats = {"n": 0, "bytes": 0}
+
+    def _log_load(n_bytes: int) -> None:
+        stats["n"] += 1
+        stats["bytes"] += n_bytes
+        if log_path:
+            with open(log_path, "a") as f:
+                f.write(f"{stats['n']} {n_bytes} {stats['bytes']}\n")
+
     def compress_executable(data: bytes) -> bytes:
         return zlib.compress(data, 1)
 
     def decompress_executable(data: bytes) -> bytes:
         if data[:4] == _ZSTD_MAGIC:
             if zstandard_mod is not None:
-                return zstandard_mod.ZstdDecompressor().decompress(data)
-            if zstd_mod is not None:
-                return zstd_mod.decompress(data)
-        return zlib.decompress(data)
+                out = zstandard_mod.ZstdDecompressor().decompress(data)
+            elif zstd_mod is not None:
+                out = zstd_mod.decompress(data)
+            else:
+                out = zlib.decompress(data)
+        else:
+            out = zlib.decompress(data)
+        _log_load(len(out))
+        return out
 
     cc.compress_executable = compress_executable
     cc.decompress_executable = decompress_executable

@@ -36,3 +36,24 @@ from jpegqs_tpu.utils import cache as _qs_cache  # noqa: E402
 
 _qs_cache.setup(os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache"))
+
+
+# Periodically drop jax's in-process executable caches.  A fully warm
+# persistent cache means a full-suite process deserializes hundreds of
+# AOT executables and keeps them all live; past a threshold the next
+# sizeable (de)serialize SEGFAULTS inside XLA:CPU (the documented
+# cache-crash class — observed round 5 at the same test with the crash
+# in executable.serialize() on one run and deserialize_executable on
+# the next, while the same test standalone passes both ways).  Clearing
+# every N tests bounds the live set; reloads from the persistent cache
+# are cheap (no LLVM).  Tune/disable with JPEGQS_CLEAR_EVERY (0=off).
+_CLEAR_EVERY = int(os.environ.get("JPEGQS_CLEAR_EVERY", "40"))
+_test_count = [0]
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _test_count[0] += 1
+    if _CLEAR_EVERY and _test_count[0] % _CLEAR_EVERY == 0:
+        import gc
+        jax.clear_caches()
+        gc.collect()
