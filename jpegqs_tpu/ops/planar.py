@@ -319,8 +319,8 @@ _LQ_NEIGHBORS = ((-1, -1, 1), (0, -1, 0), (1, -1, 1),
 
 def low_quality_fblocks(halo, rng_blocks):
     """LOW_QUALITY 3x3 weighted gradient shrink, planar
-    (reference: quantsmooth.h:1161-1175; same fp32 op sequence as
-    ops/lowq.low_quality_fplane).
+    (reference: quantsmooth.h:1161-1175; fp32 accumulation follows the
+    exact 8-neighbor scalar order).
 
     halo int32[10, 10, B]; rng_blocks f32[B] (per-block range).
     Returns centered f32[8, 8, B] for fdct_clamp_p.
