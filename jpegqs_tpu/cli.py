@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-from .options import QsOptions, quality_to_flags, FLAGS_MASK, INFO_SHIFT
+from .options import QsOptions, quality_to_flags, FLAGS_MASK
 
 PROGNAME = "jpegqs-tpu"
 VERSION = "0.1.0"

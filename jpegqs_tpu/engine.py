@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .options import (DIAGONALS, JOINT_YUV, UPSAMPLE_UV, LOW_QUALITY,
+from .options import (JOINT_YUV, UPSAMPLE_UV, LOW_QUALITY,
                       NO_REBALANCE, NO_REBALANCE_UV, ITER_MAX, QsOptions)
 from .specref import make_solver_tables
 from .ops import planar

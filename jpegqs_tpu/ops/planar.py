@@ -28,7 +28,7 @@ from ..specref import NATURAL_ORDER, ZIGZAG_REFRESH, N_TERMS
 from . import fp32
 from .dct import _idct_islow_pass1, _descale, _range_clamp, _fdct_float_pass
 from .quant import roundf, c_f32_to_i32, get_orig_coef, interval_clamp
-from .rebalance import (_split_sum, _pair_ge, _pair_sub, _pair_add,
+from .rebalance import (_pair_ge, _pair_sub, _pair_add,
                         _pair_shl1, _pair_shr1)
 
 F = jnp.float32

@@ -6,7 +6,7 @@ the CLI quality ladder (reference: quantsmooth.c:380-393).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 # Algorithm flags (reference: libjpegqs.h:16-23)
