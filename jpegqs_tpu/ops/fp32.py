@@ -38,12 +38,23 @@ def exact_mode() -> bool:
 
 
 # The fence token: an int32 scalar that is 0 at runtime but arrives as
-# a jit *argument*, so the compiler cannot prove it is zero.  XOR-ing a
-# result's bits with it forces integer dataflow between producer and
+# a jit *argument*, so the compiler cannot prove it is zero.  ADDing it
+# to a result's bits forces integer dataflow between producer and
 # consumer: FMA contraction and float reassociation become impossible,
-# while the runtime cost is two bitcasts and an xor (fully fusible).
-# (lax.optimization_barrier does not work: XLA:CPU strips barriers
-# before codegen and then contracts mul+add pairs into FMA.)
+# while the runtime cost is two bitcasts and an integer add (fully
+# fusible).  (lax.optimization_barrier does not work: XLA:CPU strips
+# barriers before codegen and then contracts mul+add pairs into FMA.)
+#
+# The fence must be an integer ADD, not XOR.  XOR is self-inverse, and
+# stacked fences on the same value DO arise: `fadd(zeros, fmul(...))`
+# folds 0+x away in XLA, leaving fence(fence(mul)) — LLVM's instcombine
+# then cancels xor(xor(x, t), t) -> x, the bitcast pair collapses, and
+# the raw multiply feeds the next float add, which LLVM contracts into
+# an FMA.  Found by randomized differential fuzzing (round 5): a q0
+# LOW_QUALITY shrink accumulator came out 1 ulp off in ~4% of lanes on
+# XLA:CPU, flipping a trunc on a near-tie.  add(add(x, t), t) has no
+# such identity — any reassociation still leaves an integer op with a
+# runtime operand between producer and consumer.
 _TOKEN = None
 
 
@@ -79,7 +90,7 @@ def _fence(x):
         # Eager execution: each op runs as its own XLA program, which
         # cannot contract across ops — already exact.
         return x
-    bits = jax.lax.bitcast_convert_type(x, jnp.int32) ^ _TOKEN
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32) + _TOKEN
     return jax.lax.bitcast_convert_type(bits, F)
 
 

@@ -16,7 +16,7 @@ are scalar-prefetched (SMEM) and broadcast per term row.
 
 Bit-exactness: identical integer ops; fp32 products/folds in the exact
 scalar order.  Guarded against compiler re-association the same way as
-ops/fp32.py — every fp32 result is XOR-fenced with a runtime-zero
+ops/fp32.py — every fp32 result's bits are fenced with a runtime-zero
 scalar so mul+add chains cannot be contracted into FMAs.
 """
 
@@ -91,16 +91,20 @@ def _round_up(x, m):
 
 
 # ---------------------------------------------------------------------------
-# In-kernel helpers (jnp on values; fp32 results XOR-fenced)
+# In-kernel helpers (jnp on values; fp32 results integer-add-fenced)
 # ---------------------------------------------------------------------------
 
 def _mkfence(tok, fenced):
+    # Integer-ADD fence, NOT xor: xor is self-inverse and LLVM cancels
+    # stacked fences (fadd(0, fmul(..)) folds to fence(fence(mul))),
+    # exposing the multiply to FMA contraction — see ops/fp32.py.
+    # fenced=True only in interpret mode, which lowers through XLA:CPU.
     if not fenced:
         return lambda x: x
 
     def fence(x):
         return jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(x, jnp.int32) ^ tok, F)
+            jax.lax.bitcast_convert_type(x, jnp.int32) + tok, F)
     return fence
 
 
@@ -783,7 +787,7 @@ def solve_rebalance(coef, borders, div, x1, qshr, flags, do_rebalance,
     coef int32[64, B]; borders (top, bottom, left, right) int32[8, B];
     returns int32[64, B].
 
-    ``fenced``: XOR-fence every fp32 op.  Defaults to off on compiled
+    ``fenced``: fence every fp32 op.  Defaults to off on compiled
     TPU (Mosaic emits plain IEEE mul/add — verified bit-exact against
     the reference) and on in interpreter mode (which lowers through
     XLA:CPU, where FMA contraction is real).

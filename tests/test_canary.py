@@ -142,7 +142,7 @@ def test_roundf_half_away_ties():
 
 
 # ---------------------------------------------------------------------------
-# Fenced-path canary (CPU backend: the XOR fence must defeat XLA:CPU)
+# Fenced-path canary (CPU backend: the bit fence must defeat XLA:CPU)
 # ---------------------------------------------------------------------------
 
 @pytest.mark.skipif(on_tpu, reason="exercises the XLA:CPU fence")
@@ -159,4 +159,30 @@ def test_fence_defeats_cpu_contraction():
     out = np.asarray(fenced(jnp.asarray(a), jnp.asarray(b),
                             jnp.asarray(c), jnp.int32(0)))
     assert np.count_nonzero(out) == 0, (
-        "the XOR fence no longer prevents FMA contraction on XLA:CPU")
+        "the fence no longer prevents FMA contraction on XLA:CPU")
+
+
+@pytest.mark.skipif(on_tpu, reason="exercises the XLA:CPU fence")
+def test_stacked_fence_defeats_cpu_contraction():
+    """Accumulating from a zeros init stacks two fences on the first
+    term (XLA folds 0+x away, leaving fence(fence(mul))).  With an XOR
+    fence LLVM cancels the pair and FMA-contracts the exposed multiply
+    into the next add — the round-5 fuzz find that produced 1-ulp
+    LOW_QUALITY accumulator errors.  The integer-ADD fence has no
+    cancelling identity; this pins it."""
+    a = _rand((8, 128), 13)
+    b = _rand((8, 128), 14)
+    c = -(a * b)
+
+    @jax.jit
+    def fenced(a, b, c, tok):
+        with fp32.fence_token(tok):
+            acc = jnp.zeros(a.shape, jnp.float32)
+            acc = fp32.fadd(acc, fp32.fmul(a, b))   # double-fenced term
+            return fp32.fadd(acc, c)
+
+    out = np.asarray(fenced(jnp.asarray(a), jnp.asarray(b),
+                            jnp.asarray(c), jnp.int32(0)))
+    assert np.count_nonzero(out) == 0, (
+        "stacked fences cancelled: FMA contraction leaked through "
+        "(the fence must be an integer ADD, not XOR)")

@@ -293,3 +293,16 @@ def test_no_rebalance_flag_combos(flags):
     res = engine.smooth(img, QsOptions(flags=flags, niter=2))
     for ci in range(len(img.components)):
         assert np.array_equal(res.coefs[ci], ref_coefs[ci][0]), f"c{ci}"
+
+
+def test_lq_444_noise_fence_regression():
+    """Round-5 fuzz find: q0 (LOW_QUALITY) on 4:4:4 noise content hit a
+    near-tie in the shrink accumulators that exposed XOR-fence
+    cancellation on XLA:CPU (stacked fences from fadd(zeros, fmul(..))
+    cancelled, letting LLVM FMA-contract the first fold term — 1-ulp
+    accumulator errors flipping a trunc).  The integer-ADD fence fixes
+    it (ops/fp32.py); this pins the exact failing input.  TPU/Mosaic
+    never contracted (verified on hardware)."""
+    data = make_jpeg(201, 190, "noise", seed=201 * 997 + 190, color=True,
+                     quality=75, subsamp=0, progressive=True)
+    assert_matches_reference(data, 0, 5)
