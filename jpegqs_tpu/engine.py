@@ -441,7 +441,13 @@ def _image_smooth_impl(inputs, fence, *, cfg):
                         padded, image2, image1, img_w=cfg.img_w,
                         img_h=cfg.img_h, ws=cfg.ws, hs=cfg.hs,
                         hb_l=hbl, wb_l=wbl)
-            elif ci == 0 and cfg.need_downsample:
+            elif ci == 0 and cfg.need_downsample and len(cfg.comps) > 1:
+                # (len guard: at 4:4:4 + UPSAMPLE_UV + niter=0 the
+                # chroma components drop out of the program entirely —
+                # num_iter2 + extra_refresh == 0, exactly like the
+                # reference's per-component `continue`,
+                # quantsmooth.h:2542 — leaving nothing to consume the
+                # downsampled plane)
                 hbl, wbl = cfg.comps[0].hb, cfg.comps[0].wb
                 hbc, wbc = cfg.comps[1].hb, cfg.comps[1].wb
                 if cfg.ds_blocks:
@@ -744,6 +750,11 @@ def _try_smooth_sharded(img, opts: QsOptions):
         and len(comps) >= 3
         and comps[1].h_samp_factor == 1 and comps[1].v_samp_factor == 1
         and comps[2].h_samp_factor == 1 and comps[2].v_samp_factor == 1)
+    if niter == 0:
+        # n=0 is dequant-only (plus the reference's chroma-skip
+        # semantics at 4:4:4 + UPSAMPLE_UV, quantsmooth.h:2542) —
+        # trivial work; let the fused path model it exactly
+        return None
     grid = _shard_grid(img, opts)
     if grid is None:
         return None

@@ -306,3 +306,25 @@ def test_lq_444_noise_fence_regression():
     data = make_jpeg(201, 190, "noise", seed=201 * 997 + 190, color=True,
                      quality=75, subsamp=0, progressive=True)
     assert_matches_reference(data, 0, 5)
+
+
+@pytest.mark.parametrize("subsamp", [0, 1])
+def test_upsample_niter0(subsamp):
+    """q2 (UPSAMPLE_UV flags) with niter=0 — the reference still enters
+    the component loop for the sake of UPSAMPLE (quantsmooth.h:2458),
+    but at 4:4:4 image1 is never created (image2 = image directly,
+    quantsmooth.h:2753-2761) and the chroma components fall out of the
+    loop entirely (num_iter2 + extra_refresh == 0 -> continue, h:2542).
+    Round-5 fuzz find: the fused program indexed the dropped chroma
+    config and crashed."""
+    data = make_jpeg(63, 146, "flat", seed=63 * 997 + 146, color=True,
+                     quality=63, subsamp=subsamp)
+    ref_coefs = coef_arrays(run_reference(data, quality=2, niter=0))
+    img = jpegio.read_coefficients(data)
+    res = engine.smooth(img, QsOptions.from_quality(2, 0))
+    if res.upsampled is not None:
+        ours = [res.coefs[0], res.upsampled[0], res.upsampled[1]]
+    else:
+        ours = res.coefs
+    for ci in range(len(img.components)):
+        assert np.array_equal(ours[ci], ref_coefs[ci][0]), f"c{ci}"
