@@ -142,6 +142,16 @@ def main():
             print(f"[{i}] FAIL {case}", flush=True)
             raise
         print(f"[{i}] ok {time.time() - t0:5.1f}s {case}", flush=True)
+        if (i + 1) % 25 == 0:
+            # every case compiles a fresh program; hundreds of live
+            # executables exhaust vm.max_map_count (65530 default) and
+            # XLA:CPU starts failing mmaps ("LLVM compilation error:
+            # Cannot allocate memory" — or segfaults mid-deserialize).
+            # Dropping the in-process caches unmaps them; the
+            # persistent cache makes reloads cheap.
+            import gc
+            jax.clear_caches()
+            gc.collect()
         if args.corpus_every and (i + 1) % args.corpus_every == 0 \
                 and len(recent) >= 3:
             t0 = time.time()
