@@ -66,7 +66,7 @@ def sample_case(rng):
         # JOINT_YUV, UPSAMPLE_UV, LOW_QUALITY, NO_REBALANCE,
         # NO_REBALANCE_UV — libjpegqs.h:14-32)
         case["flags"] = int(rng.integers(0, 64))
-        case["niter"] = int(rng.choice([1, 2, 3]))
+        case["niter"] = int(rng.choice([0, 1, 2, 3]))
     return case
 
 
